@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: range-proof verification throughput per chip.
+
+Headline config (BASELINE.json): aggregated range proof n=64, m=16 on
+edwards25519 — verify is one 2·mn + 2·log2(mn) + m + 5 ≈ 2100-point MSM
+(reference range/mod.rs:479-509). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "verify/s", "vs_baseline": N, ...}
+
+vs_baseline is the speedup over the reference semantics executed by the
+pure-Python golden oracle on this machine's host CPU (the Rust reference
+does not build here — its mcl C++ dependency is git-ignored and vendored
+out-of-tree, SURVEY.md §0 — and publishes no numbers, BASELINE.md). The
+golden measurement is cached in golden_baseline.json with provenance.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bulletproofsplus_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
+
+CURVE = os.environ.get("BPP_BENCH_CURVE", "edwards25519")
+N_BITS = int(os.environ.get("BPP_BENCH_N", "64"))
+M_AGG = int(os.environ.get("BPP_BENCH_M", "16"))
+REPS = int(os.environ.get("BPP_BENCH_REPS", "3"))
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "golden_baseline.json")
+
+
+def golden_verify_s() -> float:
+    """Golden-oracle verify seconds at the same config (cached)."""
+    key = f"{CURVE}-n{N_BITS}-m{M_AGG}"
+    if os.path.exists(BASELINE_FILE):
+        data = json.load(open(BASELINE_FILE))
+        if key in data:
+            return data[key]["verify_s"]
+    else:
+        data = {}
+    from bulletproofsplus_tpu.golden import CURVES, PublicKey, RangeProver, protocol
+
+    c = CURVES[CURVE]
+    pk = PublicKey.new(c, N_BITS * M_AGG)
+    prover = RangeProver()
+    for i in range(M_AGG):
+        prover.commit(c, pk, (3 * i + 2) % (1 << N_BITS), 2 * i + 3)
+    t0 = time.time()
+    proof = protocol.prove(c, pk, N_BITS, prover)
+    prove_s = time.time() - t0
+    t0 = time.time()
+    protocol.verify(c, proof, pk, N_BITS, prover.commitment_vec)
+    verify_s = time.time() - t0
+    data[key] = {
+        "verify_s": verify_s,
+        "prove_s": prove_s,
+        "provenance": "pure-Python golden oracle, host CPU, this machine",
+    }
+    json.dump(data, open(BASELINE_FILE, "w"), indent=1)
+    return verify_s
+
+
+def main():
+    from bulletproofsplus_tpu import (
+        DeterministicTranscript,
+        PublicKey,
+        RangeProver,
+        curve_ops,
+        prove,
+        verify,
+    )
+
+    curve = curve_ops(CURVE)
+    n, m = N_BITS, M_AGG
+
+    t0 = time.time()
+    pk = PublicKey.new(curve, n * m)
+    pk.g.block_until_ready()
+    setup_s = time.time() - t0
+
+    prover = RangeProver()
+    for i in range(m):
+        prover.commit(pk, (3 * i + 2) % (1 << n), 2 * i + 3)
+
+    t0 = time.time()
+    proof = prove(curve, pk, n, prover)
+    proof.proof.r_prime.block_until_ready()
+    prove_s = time.time() - t0
+
+    # warmup (compiles cached across runs via persistent cache)
+    verify(curve, proof, pk, n, prover.commitment_vec)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        verify(curve, proof, pk, n, prover.commitment_vec)
+        times.append(time.time() - t0)
+    verify_s = min(times)
+
+    base_s = golden_verify_s()
+    value = 1.0 / verify_s
+    print(json.dumps({
+        "metric": f"range-proof verify/s per chip ({CURVE}, n={n}, m={m})",
+        "value": round(value, 4),
+        "unit": "verify/s",
+        "vs_baseline": round(value * base_s, 3),
+        "extra": {
+            "verify_s": round(verify_s, 4),
+            "prove_s": round(prove_s, 3),
+            "setup_s": round(setup_s, 3),
+            "golden_verify_s": round(base_s, 3),
+            "backend": __import__("jax").default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

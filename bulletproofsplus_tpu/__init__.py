@@ -6,10 +6,37 @@ commitments, single and aggregated range proofs via the weighted-inner-product
 argument, single-MSM verification, batch verification — over bls12-381 G1,
 secp256k1, and edwards25519/ristretto255, with limb-decomposed modular
 arithmetic vectorized for the TPU VPU and MSMs sharded over device meshes.
+
+Public API (mirrors the reference's src/lib.rs:11-13 re-exports):
+    PublicKey, RangeProof, RangeProver, prove, verify, curve_ops
 """
 from . import errors
+from .curves import CURVE_NAMES, curve_ops
 from .errors import ProofError, VerificationError
+from .protocol import PublicKey, RangeProof, RangeProver, prove, verify
+from .transcript import (
+    DeterministicRng,
+    DeterministicTranscript,
+    ShaTranscript,
+    SystemRng,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["ProofError", "VerificationError", "errors", "__version__"]
+__all__ = [
+    "CURVE_NAMES",
+    "DeterministicRng",
+    "DeterministicTranscript",
+    "ProofError",
+    "PublicKey",
+    "RangeProof",
+    "RangeProver",
+    "ShaTranscript",
+    "SystemRng",
+    "VerificationError",
+    "curve_ops",
+    "errors",
+    "prove",
+    "verify",
+    "__version__",
+]

@@ -15,7 +15,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.ops import FieldOps
+from ..fields.ops import FieldOps, jit_method
+from .stage import badd, bmul, bsub
 
 
 class EdwardsOps:
@@ -80,53 +81,50 @@ class EdwardsOps:
     def select(self, mask, P, Q):
         return jnp.where(jnp.asarray(mask)[..., None, None], P, Q)
 
+    @jit_method()
     def neg(self, P):
         f = self.fp
         X = f.neg(P[..., 0, :])
         T = f.neg(P[..., 3, :])
         return jnp.stack([X, P[..., 1, :], P[..., 2, :], T], axis=-2)
 
+    @jit_method()
     def add(self, P, Q):
-        """add-2008-hwcd-3 (a = -1), complete — no selects needed."""
+        """add-2008-hwcd-3 (a = -1), complete — no selects needed.
+        Staged: 3 mul kernels + 1 single mul (see stage.py)."""
         f = self.fp
         X1, Y1, Z1, T1 = (P[..., i, :] for i in range(4))
         X2, Y2, Z2, T2 = (Q[..., i, :] for i in range(4))
-        A = f.mul(f.sub(Y1, X1), f.sub(Y2, X2))
-        B = f.mul(f.add(Y1, X1), f.add(Y2, X2))
-        C = f.mul(f.mul(T1, jnp.asarray(self.k2d_np)), T2)
-        D = f.mul(f.add(Z1, Z1), Z2)
-        E = f.sub(B, A)
-        F = f.sub(D, C)
-        G = f.add(D, C)
-        H = f.add(B, A)
-        X3 = f.mul(E, F)
-        Y3 = f.mul(G, H)
-        T3 = f.mul(E, H)
-        Z3 = f.mul(F, G)
+        ym1, ym2 = bsub(f, [Y1, Y2], [X1, X2])
+        yp1, yp2, Z1d = badd(f, [Y1, Y2, Z1], [X1, X2, Z1])
+        A, B, T12, D = bmul(f, [ym1, yp1, T1, Z1d], [ym2, yp2, T2, Z2])
+        C = f.mul(T12, jnp.broadcast_to(jnp.asarray(self.k2d_np), T12.shape))
+        E, F = bsub(f, [B, D], [A, C])
+        G, H = badd(f, [D, B], [C, A])
+        X3, Y3, T3, Z3 = bmul(f, [E, G, E, F], [F, H, H, G])
         return jnp.stack([X3, Y3, Z3, T3], axis=-2)
 
+    @jit_method()
     def dbl(self, P):
-        """dbl-2008-hwcd (a = -1): 4M + 4S, cheaper than add(P, P)."""
+        """dbl-2008-hwcd (a = -1): staged as 2 mul kernels."""
         f = self.fp
         X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
-        A = f.sqr(X1)
-        B = f.sqr(Y1)
-        Ct = f.sqr(Z1)
-        C = f.add(Ct, Ct)
-        # a = -1: D = -A
-        E = f.sub(f.sub(f.sqr(f.add(X1, Y1)), A), B)
-        G = f.sub(B, A)
-        F = f.sub(G, C)
-        H = f.neg(f.add(A, B))
-        X3 = f.mul(E, F)
-        Y3 = f.mul(G, H)
-        T3 = f.mul(E, H)
-        Z3 = f.mul(F, G)
+        xy = f.add(X1, Y1)
+        A, B, ZZ, t = bmul(f, [X1, Y1, Z1, xy], [X1, Y1, Z1, xy])
+        C = f.add(ZZ, ZZ)
+        G, E1 = bsub(f, [B, t], [A, A])
+        E, F = bsub(f, [E1, G], [B, C])
+        H = f.neg(f.add(A, B))  # a = -1: H = D − B with D = −A
+        X3, Y3, T3, Z3 = bmul(f, [E, G, E, F], [F, H, H, G])
         return jnp.stack([X3, Y3, Z3, T3], axis=-2)
 
+    @jit_method()
     def eq(self, P, Q):
         """Projective equality: X1·Z2 == X2·Z1 and Y1·Z2 == Y2·Z1."""
         f = self.fp
-        x_eq = f.eq(f.mul(P[..., 0, :], Q[..., 2, :]), f.mul(Q[..., 0, :], P[..., 2, :]))
-        y_eq = f.eq(f.mul(P[..., 1, :], Q[..., 2, :]), f.mul(Q[..., 1, :], P[..., 2, :]))
-        return x_eq & y_eq
+        a, b, c, d = bmul(
+            f,
+            [P[..., 0, :], Q[..., 0, :], P[..., 1, :], Q[..., 1, :]],
+            [Q[..., 2, :], P[..., 2, :], Q[..., 2, :], P[..., 2, :]],
+        )
+        return f.eq(a, b) & f.eq(c, d)

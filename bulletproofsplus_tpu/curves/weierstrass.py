@@ -1,30 +1,31 @@
-"""Branchless Jacobian arithmetic for short-Weierstrass curves with a = 0
-(bls12-381 G1 and secp256k1).
+"""Branchless COMPLETE projective arithmetic for short-Weierstrass curves
+with a = 0 (bls12-381 G1 and secp256k1).
 
 Points are (..., 3, L) int32 limb tensors (X, Y, Z in Montgomery form,
-Jacobian coordinates); the identity is any point with Z = 0. The formulas are
-the ones the reference cites (dbl-2009-l and add-2007-bl,
-src/secp256k1/building_block/secp256k1/macros.rs:155-219), but every special
-case (either operand at infinity, doubling, inverse points) is resolved with
-vectorized selects instead of control flow, so whole arrays of point ops
-compile to straight-line XLA.
+homogeneous projective coordinates); the identity is (0, 1, 0). Uses the
+Renes-Costello-Batina complete addition/doubling formulas (eprint 2015/1060,
+algorithms 7 and 9 for a = 0): valid for EVERY input pair — identities,
+doublings, inverses — with zero case analysis, because both curves' groups
+have odd order. This replaces the reference's branchy affine/Jacobian
+formulas (src/secp256k1/building_block/secp256k1/macros.rs:35-219) whose
+divergent special cases would poison vectorized TPU execution.
 
-Prime-order-subgroup assumption: no point has Y = 0 (no rational 2-torsion on
-y^2 = x^3 + b for our curves), so dbl's Z3 = 2·Y·Z vanishes only at infinity.
+Every formula is staged so all independent muls of a stage run as one
+batched kernel (see stage.py): add = 4 mul-kernels, dbl = 4 mul-kernels.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.ops import FieldOps
+from ..fields.ops import FieldOps, jit_method
+from .stage import badd, bmul, bsub
 
 
 class WeierstrassOps:
-    """Vectorized Jacobian point ops over a FieldOps base field."""
+    """Vectorized complete projective point ops over a FieldOps base field."""
 
     COORDS = 3
 
@@ -33,8 +34,9 @@ class WeierstrassOps:
         self.fn = fn  # scalar field (group order)
         self.name = name
         self.b = b
-        # identity: (1, 1, 0) in Montgomery form
-        self.identity_np = np.stack([fp.one_np, fp.one_np, fp.zero_np])
+        self.b3_np = fp.encode(3 * b)  # the b3 constant of RCB a=0 formulas
+        # identity: (0, 1, 0)
+        self.identity_np = np.stack([fp.zero_np, fp.one_np, fp.zero_np])
 
     # ------------------------------------------------------------------
     # host conversions (affine ints ↔ device limb tensors)
@@ -56,16 +58,17 @@ class WeierstrassOps:
             return None
         p = self.fp.p
         zi = pow(Z, p - 2, p)
-        x = self.fp.decode(a[..., 0, :]) * zi * zi % p
-        y = self.fp.decode(a[..., 1, :]) * zi * zi % p * zi % p
-        return (x, y)
+        return (
+            self.fp.decode(a[..., 0, :]) * zi % p,
+            self.fp.decode(a[..., 1, :]) * zi % p,
+        )
 
     def decode_points(self, arr):
         a = np.asarray(arr)
         return [self.decode_point(a[i]) for i in range(a.shape[0])]
 
     # ------------------------------------------------------------------
-    # core ops (all jnp, branchless)
+    # core ops (all jnp, complete — no case analysis anywhere)
     # ------------------------------------------------------------------
 
     def identity_like(self, shape_prefix) -> jnp.ndarray:
@@ -80,6 +83,7 @@ class WeierstrassOps:
         """mask ? P : Q with mask shaped like P.shape[:-2] (or scalar)."""
         return jnp.where(jnp.asarray(mask)[..., None, None], P, Q)
 
+    @jit_method()
     def neg(self, P):
         f = self.fp
         Y = f.neg(P[..., 1, :])
@@ -87,74 +91,67 @@ class WeierstrassOps:
             [P[..., 0:1, :], Y[..., None, :], P[..., 2:3, :]], axis=-2
         )
 
-    def dbl(self, P):
-        """dbl-2009-l (a = 0). Maps identity → identity automatically."""
-        f = self.fp
-        X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
-        A = f.sqr(X1)
-        B = f.sqr(Y1)
-        C = f.sqr(B)
-        t = f.sqr(f.add(X1, B))
-        D = f.add(t2 := f.sub(f.sub(t, A), C), t2)  # 2*((X1+B)^2 - A - C)
-        E = f.add(f.add(A, A), A)  # 3*A
-        F = f.sqr(E)
-        X3 = f.sub(F, f.add(D, D))
-        C2 = f.add(C, C)
-        C4 = f.add(C2, C2)
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), f.add(C4, C4))  # - 8*C
-        Z3 = f.mul(f.add(Y1, Y1), Z1)
-        return jnp.stack([X3, Y3, Z3], axis=-2)
-
+    @jit_method()
     def add(self, P, Q):
-        """Unified add: add-2007-bl plus selects for Z=0 / double / inverse."""
+        """RCB complete addition, a = 0 (eprint 2015/1060 algorithm 7)."""
         f = self.fp
         X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
         X2, Y2, Z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]
+        b3 = jnp.broadcast_to(jnp.asarray(self.b3_np), X1.shape)
 
-        Z1Z1 = f.sqr(Z1)
-        Z2Z2 = f.sqr(Z2)
-        U1 = f.mul(X1, Z2Z2)
-        U2 = f.mul(X2, Z1Z1)
-        S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
-        S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-        H = f.sub(U2, U1)
-        R = f.sub(S2, S1)
-
-        H2 = f.sqr(H)
-        H3 = f.mul(H2, H)
-        U1H2 = f.mul(U1, H2)
-        X3 = f.sub(f.sub(f.sqr(R), H3), f.add(U1H2, U1H2))
-        Y3 = f.sub(f.mul(R, f.sub(U1H2, X3)), f.mul(S1, H3))
-        Z3 = f.mul(f.mul(H, Z1), Z2)
-        gen = jnp.stack([X3, Y3, Z3], axis=-2)
-
-        p_inf = f.is_zero(Z1)
-        q_inf = f.is_zero(Z2)
-        h_zero = f.is_zero(H)
-        r_zero = f.is_zero(R)
-        # same x: double if same y, else P + (-P) = infinity
-        dbl_case = h_zero & r_zero & ~p_inf & ~q_inf
-        inf_case = h_zero & ~r_zero & ~p_inf & ~q_inf
-
-        out = gen
-        out = self.select(dbl_case, self.dbl(P), out)
-        out = self.select(inf_case, self.identity_like(out.shape[:-2]), out)
-        out = self.select(p_inf, Q, out)
-        out = self.select(q_inf, P, out)
-        return out
-
-    def eq(self, P, Q):
-        """Projective equality: X1·Z2² == X2·Z1² and Y1·Z2³ == Y2·Z1³,
-        with both-infinity equal (fixes the reference's JacobianPoint::eq bug,
-        jacobian_point.rs:85-88, which ignored the z factors)."""
-        f = self.fp
-        Z1Z1 = f.sqr(P[..., 2, :])
-        Z2Z2 = f.sqr(Q[..., 2, :])
-        x_eq = f.eq(f.mul(P[..., 0, :], Z2Z2), f.mul(Q[..., 0, :], Z1Z1))
-        y_eq = f.eq(
-            f.mul(P[..., 1, :], f.mul(Q[..., 2, :], Z2Z2)),
-            f.mul(Q[..., 1, :], f.mul(P[..., 2, :], Z1Z1)),
+        t0, t1, t2 = bmul(f, [X1, Y1, Z1], [X2, Y2, Z2])
+        sx1, sy1, sz1 = badd(f, [X1, Y1, X1], [Y1, Z1, Z1])
+        sx2, sy2, sz2 = badd(f, [X2, Y2, X2], [Y2, Z2, Z2])
+        m3, m4, m5 = bmul(f, [sx1, sy1, sz1], [sx2, sy2, sz2])
+        a01, a12, a02 = badd(f, [t0, t1, t0], [t1, t2, t2])
+        t3, t4, t5 = bsub(f, [m3, m4, m5], [a01, a12, a02])
+        # t3 = X1Y2+X2Y1, t4 = Y1Z2+Y2Z1, t5 = X1Z2+X2Z1
+        t0_3 = f.add(f.add(t0, t0), t0)  # 3·t0
+        t2b, t5b = bmul(f, [b3, b3], [t2, t5])
+        z3 = f.add(t1, t2b)
+        t1m = f.sub(t1, t2b)
+        m_a, m_b, m_c, m_d, m_e, m_f = bmul(
+            f,
+            [t4, t3, t5b, t1m, t0_3, z3],
+            [t5b, t1m, t0_3, z3, t3, t4],
         )
-        p_inf = self.is_identity(P)
-        q_inf = self.is_identity(Q)
-        return (p_inf & q_inf) | (~p_inf & ~q_inf & x_eq & y_eq)
+        X3 = f.sub(m_b, m_a)  # t3·t1m − t4·(b3·t5)
+        Y3 = f.add(m_d, m_c)  # t1m·z3 + (b3·t5)·3t0
+        Z3 = f.add(m_f, m_e)  # z3·t4 + 3t0·t3
+        return jnp.stack([X3, Y3, Z3], axis=-2)
+
+    @jit_method()
+    def dbl(self, P):
+        """RCB complete doubling, a = 0 (eprint 2015/1060 algorithm 9)."""
+        f = self.fp
+        X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        b3 = jnp.broadcast_to(jnp.asarray(self.b3_np), X.shape)
+
+        t0, t1, t2, xy = bmul(f, [Y, Y, Z, X], [Y, Z, Z, Y])
+        z3_2 = f.add(t0, t0)
+        z3_4 = f.add(z3_2, z3_2)
+        z3 = f.add(z3_4, z3_4)  # 8·Y²
+        t2b = f.mul(b3, t2)
+        y3 = f.add(t0, t2b)
+        t1d, x3m = bmul(f, [t1, t2b], [z3, z3])
+        # t2 := 3·b3·t2 ; t0 := t0 − 3·b3·t2
+        t2b2 = f.add(t2b, t2b)
+        t2b3 = f.add(t2b2, t2b)
+        t0m = f.sub(t0, t2b3)
+        y3p, x3p = bmul(f, [t0m, t0m], [y3, xy])
+        Y3 = f.add(x3m, y3p)  # X3·.. + t0·Y3 per Alg 9
+        X3 = f.add(x3p, x3p)  # 2·(t0−3b3t2)·XY
+        return jnp.stack([X3, Y3, t1d], axis=-2)
+
+    @jit_method()
+    def eq(self, P, Q):
+        """Projective cross-multiplication equality (fixes the reference's
+        JacobianPoint::eq bug, jacobian_point.rs:85-88, which ignored the
+        z factors)."""
+        f = self.fp
+        a, b, c, d = bmul(
+            f,
+            [P[..., 0, :], Q[..., 0, :], P[..., 1, :], Q[..., 1, :]],
+            [Q[..., 2, :], P[..., 2, :], Q[..., 2, :], P[..., 2, :]],
+        )
+        return f.eq(a, b) & f.eq(c, d)

@@ -76,9 +76,11 @@ class FieldOps:
         self.p0 = int(spec.p_limbs[0])
         self.p_rest = spec.p_limbs[1:]  # (L-1,)
         self.n0inv = spec.n0inv
+        self.nprime_arr = spec.nprime_limbs  # (L,) -p^{-1} mod R
         self.r_mod_p = spec.r_mod_p
         self.r2_arr = int_to_limbs(spec.r2_mod_p, self.L)
         self.one_np = int_to_limbs(spec.r_mod_p, self.L)  # 1 in Montgomery form
+        self.one_plain_np = int_to_limbs(1, self.L)
         self.zero_np = np.zeros(self.L, dtype=np.int32)
         # bit extraction tables for W-bit limbs
         nbits = self.L * W
@@ -119,33 +121,69 @@ class FieldOps:
     # carry handling
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _resolve(t):
+        """Exact log-depth carry resolution.
+
+        t: limbs in [-2^12+1, 2^12]. Per-limb the carry-out is a monotone
+        function f_i(c_in) = (t_i + c_in) >> W with c ∈ {-1, 0, 1}; prefix
+        composition of the f_i is associative, so the whole carry chain is a
+        log-depth associative scan over (f(-1), f(0), f(1)) triples instead
+        of an L-step sequential scan.
+
+        Returns (canonical limbs with carries applied, final carry F(0)).
+        A final carry of -1 means the represented value was negative.
+        """
+        fm1 = (t - 1) >> W
+        f0 = t >> W
+        fp1 = (t + 1) >> W
+
+        # Manual Kogge-Stone: uniform full-width ops per level compile far
+        # faster than lax.associative_scan's odd/even recursion (which emits
+        # many irregularly-shaped slices). Identity-function fill: (-1, 0, 1).
+        K = t.shape[-1]
+        s = 1
+        while s < K:
+            def shift(x, fill):
+                return jnp.concatenate(
+                    [jnp.full_like(x[..., :s], fill), x[..., :-s]], axis=-1
+                )
+
+            sm1, s0, sp1 = shift(fm1, -1), shift(f0, 0), shift(fp1, 1)
+
+            def app(x):
+                # evaluate this position's prefix function at carry value x
+                return jnp.where(x < 0, fm1, jnp.where(x == 0, f0, fp1))
+
+            fm1, f0, fp1 = app(sm1), app(s0), app(sp1)
+            s *= 2
+
+        zero = jnp.zeros_like(f0[..., :1])
+        c_in = jnp.concatenate([zero, f0[..., :-1]], axis=-1)
+        return (t + c_in) & MASK, f0[..., -1]
+
     def _carry_norm(self, t):
         """Exact carry propagation → canonical W-bit limbs.
 
         Accepts limbs in (-2^12, 2^30); the represented value must be
-        nonnegative and fit in t.shape[-1] limbs (final carry is zero by
-        construction at every call site).
+        nonnegative and < 2^(W·K - 2) (true at every call site: all values
+        are < 2p or < p², and every modulus has ≥ 3 spare bits in its top
+        limb), so no carry ever escapes the top limb.
         """
-        tm = jnp.moveaxis(t, -1, 0)
-
-        def step(c, x):
-            v = x + c
-            return v >> W, v & MASK
-
-        _, out = lax.scan(step, jnp.zeros(t.shape[:-1], jnp.int32), tm)
-        return jnp.moveaxis(out, 0, -1)
+        # Three halving passes: 2^30 → 2^19 → 2^12+2^7 → [-1, 2^12]
+        for _ in range(3):
+            hi = t >> W  # arithmetic shift: exact floor for negatives
+            lo = t & MASK
+            t = lo + jnp.concatenate(
+                [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1
+            )
+        out, _ = self._resolve(t)
+        return out
 
     def _cond_sub_p(self, t):
         """t in [0, 2p), canonical limbs → t mod p."""
-        d = jnp.moveaxis(t - self.p_arr, -1, 0)
-
-        def step(b, x):
-            v = x - b
-            return (v < 0).astype(jnp.int32), v & MASK
-
-        borrow, dm = lax.scan(step, jnp.zeros(t.shape[:-1], jnp.int32), d)
-        dsub = jnp.moveaxis(dm, 0, -1)
-        return jnp.where((borrow == 0)[..., None], dsub, t)
+        d, final = self._resolve(t - self.p_arr)
+        return jnp.where((final == 0)[..., None], d, t)
 
     # ------------------------------------------------------------------
     # ring ops
@@ -180,21 +218,36 @@ class FieldOps:
         )  # (..., 2L)
 
     def _redc(self, t):
-        """Montgomery reduction of (..., 2L) columns with value < p·R → (..., L), < p."""
+        """Separated (fully parallel) Montgomery reduction.
+
+        t: (..., 2L) columns with value T < p·R. Computes M = (T mod R)·N'
+        mod R (N' = -p^{-1} mod R) with one shear-multiply, then
+        (T + M·p)/R < 2p — no sequential word-by-word chain, so the graph is
+        flat and fuses (the word-serial CIOS loop was a compile-time and
+        depth pathology). Dropped top carries in the mod-R truncations are
+        exactly the mod-R semantics.
+        """
         L = self.L
-        c = jnp.zeros(t.shape[:-1], jnp.int32)
-        for i in range(L):
-            v = t[..., i] + c
-            m = ((v & MASK) * self.n0inv) & MASK
-            u = v + m * self.p0
-            c = u >> W
-            t = t.at[..., i + 1 : i + L].add(m[..., None] * self.p_rest)
-        res = t[..., L:].at[..., 0].add(c)
-        return self._cond_sub_p(self._carry_norm(res))
+        t_n = self._carry_norm(t)  # canonical 2L limbs
+        m_cols = self._mul_wide(t_n[..., :L], jnp.asarray(self.nprime_arr))
+        M = self._carry_norm(m_cols[..., :L])  # (T mod R)·N' mod R
+        s = t_n + self._mul_wide(M, jnp.asarray(self.p_arr))  # ≡ 0 mod R
+        s_n = self._carry_norm(s)
+        return self._cond_sub_p(s_n[..., L:])  # (T + M·p)/R < 2p
 
     @jit_method()
     def mul(self, a, b):
         return self._redc(self._mul_wide(a, b))
+
+    @jit_method()
+    def from_mont(self, a):
+        """Montgomery → plain form on device (x·R → x), e.g. for MSM scalars."""
+        return self._redc(self._mul_wide(a, jnp.asarray(self.one_plain_np)))
+
+    @jit_method()
+    def to_mont(self, a):
+        """Plain → Montgomery form on device (x → x·R)."""
+        return self._redc(self._mul_wide(a, jnp.asarray(self.r2_arr)))
 
     @jit_method()
     def sqr(self, a):

@@ -68,8 +68,15 @@ class FieldSpec:
 
     @functools.cached_property
     def n0inv(self) -> int:
-        """-p^{-1} mod 2^W (the Montgomery reduction multiplier)."""
+        """-p^{-1} mod 2^W (the word-wise Montgomery reduction multiplier)."""
         return (-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+    @functools.cached_property
+    def nprime_limbs(self) -> np.ndarray:
+        """-p^{-1} mod R as limbs — the full-width multiplier for the
+        parallel (separated) Montgomery reduction."""
+        nprime = (-pow(self.modulus, -1, self.R)) % self.R
+        return int_to_limbs(nprime, self.num_limbs)
 
 
 # The six moduli the framework uses (three curves × {base field, scalar field})

@@ -1,0 +1,71 @@
+"""MSM sharded across a device mesh.
+
+The intra-MSM axis is embarrassingly parallel until the final combine: each
+device reduces its own (scalar, point) slice to one partial point, and the
+ndev partial points are gathered and tree-summed (log2(ndev) adds). This is
+the "tensor parallel" analogue for this domain (SURVEY.md §2 parallelism
+inventory): the pair axis is the sharded dimension, the collective is an
+all-gather of C·L-limb partials over ICI.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..msm.engine import _msm_jit, _next_pow2, tree_sum
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_jit(curve, nbits: int, mesh: Mesh, axis: str):
+    local = _msm_jit(curve, nbits)
+
+    def per_device(scalars, points):
+        # scalars: (N/ndev, Ls), points: (N/ndev, C, L) — local shard
+        return local(scalars, points)[None]  # (1, C, L)
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+
+    def f(scalars, points):
+        partials = shard(scalars, points)  # (ndev, C, L)
+        n = partials.shape[0]
+        while n > 1:
+            partials = curve.add(partials[: n // 2], partials[n // 2 :])
+            n //= 2
+        return partials[0]
+
+    return jax.jit(f)
+
+
+def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
+                nbits: int | None = None):
+    """Σ scalars[i]·points[i] with the pair axis sharded over mesh[axis].
+
+    Pads N to ndev × 2^k (zero scalars / identity points), shards the pair
+    axis, computes one partial MSM per device, and combines the ndev partials
+    with a log-depth tree of point adds.
+    """
+    nbits = nbits or curve.fn.L * 12
+    ndev = mesh.shape[axis]
+    n = points.shape[0]
+    per = _next_pow2(-(-n // ndev))
+    total = per * ndev
+    if total != n:
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((total - n, scalars.shape[-1]), jnp.int32)], axis=0
+        )
+        points = jnp.concatenate(
+            [points, curve.identity_like((total - n,))], axis=0
+        )
+    scalars = jax.device_put(scalars, NamedSharding(mesh, P(axis, None)))
+    points = jax.device_put(points, NamedSharding(mesh, P(axis, None, None)))
+    return _sharded_msm_jit(curve, nbits, mesh, axis)(scalars, points)

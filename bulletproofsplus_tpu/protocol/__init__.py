@@ -1,0 +1,25 @@
+from .batch import batch_verify
+from .publickey import PublicKey
+from .range import (
+    RangeProof,
+    RangeProver,
+    VerificationInputs,
+    prove,
+    verification_inputs,
+    verify,
+)
+from .wip import WipProof, verification_scalars, wip_prove
+
+__all__ = [
+    "PublicKey",
+    "RangeProof",
+    "RangeProver",
+    "VerificationInputs",
+    "WipProof",
+    "batch_verify",
+    "prove",
+    "verification_inputs",
+    "verification_scalars",
+    "verify",
+    "wip_prove",
+]

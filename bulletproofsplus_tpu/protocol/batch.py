@@ -1,0 +1,85 @@
+"""Batch verification: many proofs → one (sharded) mega-MSM.
+
+The reference verifies proofs one at a time, each as one MSM
+(range/mod.rs:479-509). Because each proof's verification is "MSM == identity",
+a random linear combination of many proofs' MSMs is still one MSM whose
+success implies (with overwhelming probability) every term was the identity.
+Since all proofs share the pk generators, their G_vec/H_vec/g/h exponents are
+merged by field adds — the combined MSM has 2mn + 2 shared terms plus only
+the per-proof unique terms (A, A_wip, B, L_vec, R_vec, V), and shards across
+the mesh (BASELINE config 5).
+"""
+from __future__ import annotations
+
+import secrets
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..errors import VerificationError
+from ..msm import msm
+from .range import RangeProof, VerificationInputs, verification_inputs
+
+
+def batch_verify(
+    curve,
+    pk,
+    n: int,
+    proofs: Sequence[RangeProof],
+    commitment_lists: Sequence[Sequence],
+    transcripts: Optional[Sequence] = None,
+    mesh=None,
+    rng=None,
+) -> None:
+    """Verify many proofs over one pk in a single MSM. Raises on failure.
+
+    transcripts: per-proof transcript (default: deterministic, matching the
+    reference's constants). rng: optional callable returning random weight
+    ints (for tests); defaults to 128-bit secrets.
+    """
+    fn = curve.fn
+    if len(proofs) != len(commitment_lists):
+        raise VerificationError("proof/commitment count mismatch")
+    if not proofs:
+        return
+    transcripts = transcripts or [None] * len(proofs)
+    draw = rng or (lambda: secrets.randbits(128))
+
+    inputs: List[VerificationInputs] = [
+        verification_inputs(curve, p, pk, n, V, t)
+        for p, V, t in zip(proofs, commitment_lists, transcripts)
+    ]
+
+    weights = [jnp.asarray(fn.encode(draw())) for _ in inputs]
+
+    G_exp = fn.mul(inputs[0].G_exp, weights[0])
+    H_exp = fn.mul(inputs[0].H_exp, weights[0])
+    g_exp = fn.mul(inputs[0].g_exp, weights[0])
+    h_exp = fn.mul(inputs[0].h_exp, weights[0])
+    uniq_s = [fn.mul(inputs[0].unique_scalars, weights[0])]
+    uniq_p = [inputs[0].unique_points]
+    for inp, w in zip(inputs[1:], weights[1:]):
+        G_exp = fn.add(G_exp, fn.mul(inp.G_exp, w))
+        H_exp = fn.add(H_exp, fn.mul(inp.H_exp, w))
+        g_exp = fn.add(g_exp, fn.mul(inp.g_exp, w))
+        h_exp = fn.add(h_exp, fn.mul(inp.h_exp, w))
+        uniq_s.append(fn.mul(inp.unique_scalars, w))
+        uniq_p.append(inp.unique_points)
+
+    combined = VerificationInputs(
+        unique_scalars=jnp.concatenate(uniq_s, axis=0),
+        unique_points=jnp.concatenate(uniq_p, axis=0),
+        G_exp=G_exp,
+        H_exp=H_exp,
+        g_exp=g_exp,
+        h_exp=h_exp,
+    )
+    scalars, points = combined.msm_inputs(pk)
+    if mesh is not None:
+        from ..parallel import sharded_msm
+
+        expected = sharded_msm(curve, scalars, points, mesh)
+    else:
+        expected = msm(curve, scalars, points)
+    if not bool(curve.is_identity(expected)):
+        raise VerificationError("batch verification failed")

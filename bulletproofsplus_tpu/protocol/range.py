@@ -1,0 +1,503 @@
+"""Range proofs (single and aggregated) as array programs.
+
+Mirrors the reference's src/range/mod.rs: prove dispatch (:31-55), single
+(:80-238) and aggregated (:240-510) paths, with every O(mn) per-element loop
+turned into a whole-array op and the verifier flattened into ONE multi-scalar
+multiplication that must equal the identity (:479-509) — the shape that
+batch-verifies and shards across a TPU mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import VerificationError
+from ..msm import msm, scalar_mul, tree_sum
+from ..transcript import DeterministicRng, DeterministicTranscript
+from .publickey import PublicKey
+from .wip import WipProof, verification_scalars, wip_prove
+
+
+@dataclasses.dataclass
+class RangeProof:
+    """A (the bit-commitment) + the WIP argument (range/mod.rs:25-28)."""
+
+    A: jnp.ndarray
+    proof: WipProof
+
+    def to_golden(self, curve):
+        """Decode to the pure-Python golden proof type (differential tests,
+        serialization)."""
+        from ..golden.protocol import RangeProof as GRangeProof
+        from ..golden.protocol import WipProof as GWipProof
+
+        fn = curve.fn
+        w = self.proof
+        return GRangeProof(
+            A=curve.decode_point(self.A),
+            proof=GWipProof(
+                L_vec=curve.decode_points(w.L_vec),
+                R_vec=curve.decode_points(w.R_vec),
+                A=curve.decode_point(w.A),
+                B=curve.decode_point(w.B),
+                r_prime=fn.decode(w.r_prime),
+                s_prime=fn.decode(w.s_prime),
+                d_prime=fn.decode(w.d_prime),
+            ),
+        )
+
+    @classmethod
+    def from_golden(cls, curve, g) -> "RangeProof":
+        fn = curve.fn
+        return cls(
+            A=jnp.asarray(curve.encode_point(g.A)),
+            proof=WipProof(
+                L_vec=jnp.asarray(curve.encode_points(g.proof.L_vec)),
+                R_vec=jnp.asarray(curve.encode_points(g.proof.R_vec)),
+                A=jnp.asarray(curve.encode_point(g.proof.A)),
+                B=jnp.asarray(curve.encode_point(g.proof.B)),
+                r_prime=jnp.asarray(fn.encode(g.proof.r_prime)),
+                s_prime=jnp.asarray(fn.encode(g.proof.s_prime)),
+                d_prime=jnp.asarray(fn.encode(g.proof.d_prime)),
+            ),
+        )
+
+
+@dataclasses.dataclass
+class RangeProver:
+    """Witness container (range/prover.rs:13-42)."""
+
+    v_vec: List[int] = dataclasses.field(default_factory=list)
+    gamma_vec: List[int] = dataclasses.field(default_factory=list)
+    commitment_vec: List[jnp.ndarray] = dataclasses.field(default_factory=list)
+
+    def commit(self, pk: PublicKey, v: int, gamma: int) -> jnp.ndarray:
+        V = pk.commitment(v, gamma)
+        self.v_vec.append(v)
+        self.gamma_vec.append(gamma)
+        self.commitment_vec.append(V)
+        return V
+
+
+def _bit_decompose(v: Sequence[int], n: int, m: int) -> np.ndarray:
+    """v_bits[i] = bit (i % n) of v[i // n] (range/mod.rs:263-277)."""
+    return np.array(
+        [(v[i // n] >> (i % n)) & 1 for i in range(n * m)], dtype=bool
+    )
+
+
+def prove(
+    curve,
+    pk: PublicKey,
+    n: int,
+    prover: RangeProver,
+    transcript=None,
+    rng=None,
+) -> RangeProof:
+    m = len(prover.v_vec)
+    transcript = transcript or DeterministicTranscript(m)
+    rng = rng or DeterministicRng(m)
+    if m == 1:
+        return _prove_single(
+            curve, pk, n, prover.v_vec[0], prover.gamma_vec[0],
+            prover.commitment_vec[0], transcript, rng,
+        )
+    return _prove_multiple(
+        curve, pk, n, m, prover.v_vec, prover.gamma_vec,
+        prover.commitment_vec, transcript, rng,
+    )
+
+
+def verify(
+    curve,
+    proof: RangeProof,
+    pk: PublicKey,
+    n: int,
+    commitment_vec,
+    transcript=None,
+) -> None:
+    """Raises VerificationError unless the proof verifies (range/mod.rs:57-78)."""
+    commitment_vec = (
+        list(commitment_vec)
+        if not hasattr(commitment_vec, "shape")
+        else [commitment_vec[i] for i in range(commitment_vec.shape[0])]
+    )
+    m = len(commitment_vec)
+    transcript = transcript or DeterministicTranscript(m)
+    if m == 1:
+        _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
+    else:
+        _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript)
+
+
+# ---------------------------------------------------------------------------
+# single (m = 1): range/mod.rs:80-238
+# ---------------------------------------------------------------------------
+
+def _bit_commitment(curve, pk, alpha_int, v_bits, mn):
+    """A = h·α + Σ (bitᵢ ? Gᵢ : −Hᵢ)  (range/mod.rs:96-106, :259-277)."""
+    fn = curve.fn
+    h_alpha = scalar_mul(
+        curve, jnp.asarray(fn.encode_plain(alpha_int)), pk.h
+    )
+    chosen = curve.select(
+        jnp.asarray(v_bits), pk.G_vec, curve.neg(pk.H_vec)
+    )
+    return tree_sum(
+        curve, jnp.concatenate([h_alpha[None], chosen], axis=0)
+    )
+
+
+def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
+    fn = curve.fn
+    assert pk.length == n, "generator count must equal n"
+
+    alpha = rng.alpha()
+    v_bits = _bit_decompose([v], n, 1)
+    A = _bit_commitment(curve, pk, alpha, v_bits, n)
+
+    y, z = transcript.challenge_yz(curve, [commitment], A)
+    y_m = jnp.asarray(fn.encode(y))
+    z_m = jnp.asarray(fn.encode(z))
+
+    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
+    power_of_y = fn.powers_type2(y_m, n)
+    power_of_y_rev = power_of_y[::-1]
+
+    G_vec_sum = tree_sum(curve, pk.G_vec)
+    minus_z = fn.neg(z_m)
+    H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)  # (n, L)
+    V_exp = fn.powers_type2(y_m, n + 1)[n]  # y^{n+1}
+    z_sqr = fn.mul(z_m, z_m)
+    g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
+    two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
+    g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
+
+    # Â = A − z·ΣG + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V   (range/mod.rs:126-151)
+    one_m = jnp.asarray(fn.one_np)
+    scalars = jnp.concatenate(
+        [one_m[None], minus_z[None], H_exp, g_exp[None], V_exp[None]], axis=0
+    )
+    points = jnp.concatenate(
+        [A[None], G_vec_sum[None], pk.H_vec, pk.g[None], commitment[None]],
+        axis=0,
+    )
+    A_hat = msm(curve, fn.from_mont(scalars), points)
+
+    bits = jnp.asarray(v_bits)
+    one_minus_z = fn.sub(one_m, z_m)
+    a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (n, fn.L)),
+                      jnp.broadcast_to(minus_z, (n, fn.L)))
+    b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
+    gamma_m = jnp.asarray(fn.encode(gamma))
+    alpha_hat = fn.add(jnp.asarray(fn.encode(alpha)), fn.mul(gamma_m, V_exp))
+
+    wip = wip_prove(
+        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
+    )
+    return RangeProof(A=A, proof=wip)
+
+
+def _verify_single(curve, proof, pk, n, commitment, transcript):
+    inputs = _verification_inputs_single(curve, proof, pk, n, commitment,
+                                         transcript)
+    _check_identity_msm(curve, pk, inputs)
+
+
+def _verification_inputs_single(curve, proof, pk, n, commitment, transcript):
+    fn = curve.fn
+    y, z = transcript.challenge_yz(curve, [commitment], proof.A)
+    y_m = jnp.asarray(fn.encode(y))
+    z_m = jnp.asarray(fn.encode(z))
+
+    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
+    power_of_y = fn.powers_type2(y_m, n)
+    power_of_y_rev = power_of_y[::-1]
+
+    G_exp = jnp.broadcast_to(fn.neg(z_m), (n, fn.L))
+    H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)
+    V_exp = fn.powers_type2(y_m, n + 1)[n]
+    z_sqr = fn.mul(z_m, z_m)
+    g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
+    two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
+    g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
+
+    return _wip_verification_inputs(
+        curve, pk, proof.proof, power_of_y, G_exp, H_exp, g_exp,
+        V_exp[None], proof.A, jnp.stack([commitment]), transcript,
+    )
+
+
+def verification_inputs(curve, proof, pk, n, commitment_vec, transcript=None):
+    """One proof's verification-MSM inputs (for batch verification)."""
+    commitment_vec = list(commitment_vec)
+    m = len(commitment_vec)
+    transcript = transcript or DeterministicTranscript(m)
+    if m == 1:
+        return _verification_inputs_single(
+            curve, proof, pk, n, commitment_vec[0], transcript
+        )
+    return _verification_inputs_multiple(
+        curve, proof, pk, n, m, commitment_vec, transcript
+    )
+
+
+def _wip_verification_inputs(
+    curve, pk, wproof, power_of_y, G_exp_comm, H_exp_comm, g_exp_comm,
+    V_exp_comm, A_prime, V, transcript,
+):
+    """Exponent vectors of the single-MSM WIP verification (wip:238-328),
+    split into proof-unique terms and shared-generator (pk) terms so batch
+    verification can merge the pk terms across proofs."""
+    fn = curve.fn
+    logn = wproof.rounds
+    n = 1 << logn
+    if G_exp_comm.shape[0] != n or H_exp_comm.shape[0] != n:
+        raise VerificationError()
+    y = power_of_y[0]
+
+    challenges_sqr, challenges_inv_sqr, s_vec, e = verification_scalars(
+        curve, wproof, n, transcript
+    )
+    s_prime_vec = s_vec[::-1]
+    e_sqr = fn.mul(e, e)
+    r_prime_e_y = fn.mul(fn.mul(wproof.r_prime, e), y)
+    s_prime_e = fn.mul(wproof.s_prime, e)
+
+    Ls_exp = fn.mul(challenges_sqr, e_sqr)
+    Rs_exp = fn.mul(challenges_inv_sqr, e_sqr)
+
+    y_inv = fn.inv(y)
+    pow_y_inv = fn.powers_type2(y_inv, n)
+    G_exp = fn.sub(
+        fn.mul(G_exp_comm, e_sqr),
+        fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_y),
+    )
+    H_exp = fn.sub(fn.mul(H_exp_comm, e_sqr), fn.mul(s_prime_vec, s_prime_e))
+    g_exp = fn.add(
+        fn.neg(fn.mul(fn.mul(wproof.r_prime, y), wproof.s_prime)),
+        fn.mul(g_exp_comm, e_sqr),
+    )
+    h_exp = fn.neg(wproof.d_prime)
+    V_exp = fn.mul(V_exp_comm, e_sqr)
+
+    one_m = jnp.asarray(fn.one_np)
+    return VerificationInputs(
+        unique_scalars=jnp.concatenate(
+            [one_m[None], e[None], e_sqr[None], Ls_exp, Rs_exp, V_exp], axis=0
+        ),
+        unique_points=jnp.concatenate(
+            [wproof.B[None], wproof.A[None], A_prime[None],
+             wproof.L_vec, wproof.R_vec, V], axis=0
+        ),
+        G_exp=G_exp,
+        H_exp=H_exp,
+        g_exp=g_exp,
+        h_exp=h_exp,
+    )
+
+
+@dataclasses.dataclass
+class VerificationInputs:
+    """One proof's verification-MSM inputs, with pk-generator exponents kept
+    separate so a batch of proofs over one pk merges into a single MSM of
+    size 2mn + Σ(2·log(mn) + m + 3) + 2 instead of Σ(2mn + ...)."""
+
+    unique_scalars: jnp.ndarray  # (k, L) Montgomery
+    unique_points: jnp.ndarray   # (k, C, L)
+    G_exp: jnp.ndarray           # (mn, L) Montgomery
+    H_exp: jnp.ndarray           # (mn, L)
+    g_exp: jnp.ndarray           # (L,)
+    h_exp: jnp.ndarray           # (L,)
+
+    def msm_inputs(self, pk):
+        fn = pk.curve.fn
+        scalars = jnp.concatenate(
+            [self.unique_scalars, self.g_exp[None], self.h_exp[None],
+             self.G_exp, self.H_exp], axis=0
+        )
+        points = jnp.concatenate(
+            [self.unique_points, pk.g[None], pk.h[None], pk.G_vec, pk.H_vec],
+            axis=0,
+        )
+        return fn.from_mont(scalars), points
+
+
+def _check_identity_msm(curve, pk, inputs: VerificationInputs, mesh=None):
+    scalars, points = inputs.msm_inputs(pk)
+    if mesh is not None:
+        from ..parallel import sharded_msm
+
+        expected = sharded_msm(curve, scalars, points, mesh)
+    else:
+        expected = msm(curve, scalars, points)
+    if not bool(curve.is_identity(expected)):
+        raise VerificationError()
+
+
+def _wip_verify(
+    curve, pk, wproof, power_of_y, G_exp_comm, H_exp_comm, g_exp_comm,
+    V_exp_comm, A_prime, V, transcript,
+):
+    """Single-MSM WIP verification (wip:238-328). Raises on failure."""
+    inputs = _wip_verification_inputs(
+        curve, pk, wproof, power_of_y, G_exp_comm, H_exp_comm, g_exp_comm,
+        V_exp_comm, A_prime, V, transcript,
+    )
+    _check_identity_msm(curve, pk, inputs)
+
+
+# ---------------------------------------------------------------------------
+# aggregated (m > 1): range/mod.rs:240-510
+# ---------------------------------------------------------------------------
+
+def _prove_multiple(curve, pk, n, m, v, gamma_vec, commitment_vec,
+                    transcript, rng):
+    fn = curve.fn
+    mn = n * m
+    assert pk.length == mn, "generator count must equal n*m"
+    assert m & (m - 1) == 0, "aggregation size must be a power of two"
+
+    alpha = rng.alpha()
+    v_bits = _bit_decompose(v, n, m)
+    A = _bit_commitment(curve, pk, alpha, v_bits, mn)
+
+    V = jnp.stack(list(commitment_vec))
+    y, z = transcript.challenge_yz(curve, list(commitment_vec), A)
+    y_m = jnp.asarray(fn.encode(y))
+    z_m = jnp.asarray(fn.encode(z))
+
+    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
+    power_of_y = fn.powers_type2(y_m, mn)
+    power_of_y_rev = power_of_y[::-1]
+    z_sqr = fn.mul(z_m, z_m)
+    power_of_z = fn.powers_type2(z_sqr, m)  # z², z⁴, ...
+    # d[j·n + i] = 2^i · z^{2(j+1)}   (range/mod.rs:288-291)
+    idx_two = np.arange(mn) % n
+    idx_z = np.arange(mn) // n
+    d = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
+
+    minus_z = fn.neg(z_m)
+    H_exp = fn.add(fn.mul(d, power_of_y_rev), z_m)
+    y_mn1 = fn.powers_type2(y_m, mn + 1)[mn]  # y^{mn+1}
+    V_exp = fn.mul(power_of_z, y_mn1)  # (m, L)
+
+    g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
+    d_sum = fn.sum(d)
+    g_exp = fn.sub(g_exp, fn.mul(fn.mul(d_sum, y_mn1), z_m))
+
+    G_vec_sum = tree_sum(curve, pk.G_vec)
+
+    one_m = jnp.asarray(fn.one_np)
+    scalars = jnp.concatenate(
+        [one_m[None], minus_z[None], H_exp, g_exp[None], V_exp], axis=0
+    )
+    points = jnp.concatenate(
+        [A[None], G_vec_sum[None], pk.H_vec, pk.g[None], V], axis=0
+    )
+    A_hat = msm(curve, fn.from_mont(scalars), points)
+
+    bits = jnp.asarray(v_bits)
+    one_minus_z = fn.sub(one_m, z_m)
+    a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (mn, fn.L)),
+                      jnp.broadcast_to(minus_z, (mn, fn.L)))
+    b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
+
+    gamma_m = jnp.asarray(fn.encode(list(gamma_vec)))  # (m, L)
+    pz_gamma_sum = fn.sum(fn.mul(power_of_z, gamma_m))
+    alpha_hat = fn.add(
+        jnp.asarray(fn.encode(alpha)), fn.mul(pz_gamma_sum, y_mn1)
+    )
+
+    wip = wip_prove(
+        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
+    )
+    return RangeProof(A=A, proof=wip)
+
+
+def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):
+    inputs = _verification_inputs_multiple(
+        curve, proof, pk, n, m, commitment_vec, transcript
+    )
+    _check_identity_msm(curve, pk, inputs)
+
+
+def _verification_inputs_multiple(curve, proof, pk, n, m, commitment_vec,
+                                  transcript):
+    fn = curve.fn
+    mn = n * m
+    wproof = proof.proof
+
+    V = jnp.stack(list(commitment_vec))
+    y, z = transcript.challenge_yz(curve, list(commitment_vec), proof.A)
+    y_m = jnp.asarray(fn.encode(y))
+    z_m = jnp.asarray(fn.encode(z))
+    minus_z = fn.neg(z_m)
+    z_sqr = fn.mul(z_m, z_m)
+
+    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
+    power_of_y_all = fn.powers_type2(y_m, mn + 1)
+    y_mn1 = power_of_y_all[mn]
+    power_of_y = power_of_y_all[:mn]
+    power_of_y_rev = power_of_y[::-1]
+    power_of_z = fn.powers_type2(z_sqr, m)
+    idx_two = np.arange(mn) % n
+    idx_z = np.arange(mn) // n
+    concat_z_and_2 = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
+
+    challenges_sqr, challenges_inv_sqr, s_vec, e = verification_scalars(
+        curve, wproof, mn, transcript
+    )
+    s_prime_vec = s_vec[::-1]
+
+    e_inv = fn.inv(e)
+    e_sqr = fn.mul(e, e)
+    e_sqr_inv = fn.mul(e_inv, e_inv)
+    r_prime_e_inv_y = fn.mul(fn.mul(wproof.r_prime, e_inv), y_m)
+    s_prime_e_inv = fn.mul(wproof.s_prime, e_inv)
+
+    y_inv = fn.inv(y_m)
+    pow_y_inv = fn.powers_type2(y_inv, mn)
+    G_exp = fn.sub(
+        jnp.broadcast_to(minus_z, (mn, fn.L)),
+        fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_inv_y),
+    )
+    H_exp = fn.add(
+        fn.neg(fn.mul(s_prime_e_inv, s_prime_vec)),
+        fn.add(fn.mul(concat_z_and_2, power_of_y_rev), z_m),
+    )
+
+    sum_y = fn.sum(power_of_y)
+    sum_2 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))  # Σ 2^i, i<n
+    sum_z = fn.sum(power_of_z)
+
+    g_exp = fn.add(
+        fn.neg(
+            fn.mul(fn.mul(fn.mul(wproof.r_prime, wproof.s_prime), y_m), e_sqr_inv)
+        ),
+        fn.sub(
+            fn.mul(sum_y, fn.sub(z_m, z_sqr)),
+            fn.mul(fn.mul(fn.mul(y_mn1, z_m), sum_2), sum_z),
+        ),
+    )
+    h_exp = fn.neg(fn.mul(wproof.d_prime, e_sqr_inv))
+    V_exp = fn.mul(power_of_z, y_mn1)
+
+    one_m = jnp.asarray(fn.one_np)
+    return VerificationInputs(
+        unique_scalars=jnp.concatenate(
+            [one_m[None], e_inv[None], e_sqr_inv[None],
+             challenges_sqr, challenges_inv_sqr, V_exp], axis=0
+        ),
+        unique_points=jnp.concatenate(
+            [proof.A[None], wproof.A[None], wproof.B[None],
+             wproof.L_vec, wproof.R_vec, V], axis=0
+        ),
+        G_exp=G_exp,
+        H_exp=H_exp,
+        g_exp=g_exp,
+        h_exp=h_exp,
+    )

@@ -1,0 +1,84 @@
+"""Sharded-MSM, batch verification, and multi-chip dry-run tests on the
+virtual 8-device CPU mesh."""
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bulletproofsplus_tpu import (
+    PublicKey,
+    RangeProver,
+    VerificationError,
+    curve_ops,
+    prove,
+)
+from bulletproofsplus_tpu.curves import golden_curve
+from bulletproofsplus_tpu.msm import msm
+from bulletproofsplus_tpu.parallel import default_mesh, sharded_msm
+from bulletproofsplus_tpu.protocol import batch_verify
+
+
+def test_sharded_msm_matches_plain():
+    curve = curve_ops("edwards25519")
+    gc = golden_curve("edwards25519")
+    rng = random.Random(7)
+    N = 37  # deliberately not a multiple of the device count
+    pts = [gc.mul(gc.base(), rng.randrange(1, gc.fn.p)) for _ in range(N)]
+    ks = [rng.randrange(gc.fn.p) for _ in range(N)]
+    P = jnp.asarray(curve.encode_points(pts))
+    s = jnp.asarray(curve.fn.encode_plain(ks))
+
+    mesh = default_mesh(8, dp=1)
+    got = sharded_msm(curve, s, P, mesh)
+    assert curve.decode_point(got) == gc.msm(ks, pts)
+
+
+def _make_proofs(curve, n, m, count, bad_index=None):
+    pk = PublicKey.new(curve, n * m)
+    proofs, commits = [], []
+    for j in range(count):
+        prover = RangeProver()
+        for i in range(m):
+            prover.commit(pk, (5 * j + 3 * i + 2) % (1 << n), 2 * i + j + 3)
+        proofs.append(prove(curve, pk, n, prover))
+        commits.append(prover.commitment_vec)
+    if bad_index is not None:
+        proofs[bad_index].proof.r_prime = jnp.asarray(
+            curve.fn.encode(987654321)
+        )
+    return pk, proofs, commits
+
+
+def test_batch_verify_accepts():
+    curve = curve_ops("edwards25519")
+    pk, proofs, commits = _make_proofs(curve, 8, 2, 3)
+    batch_verify(curve, pk, 8, proofs, commits)
+
+
+def test_batch_verify_rejects_one_bad():
+    curve = curve_ops("edwards25519")
+    pk, proofs, commits = _make_proofs(curve, 8, 2, 3, bad_index=1)
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, 8, proofs, commits)
+
+
+def test_batch_verify_sharded():
+    curve = curve_ops("edwards25519")
+    pk, proofs, commits = _make_proofs(curve, 8, 2, 2)
+    mesh = default_mesh(8, dp=1)
+    batch_verify(curve, pk, 8, proofs, commits, mesh=mesh)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert bool(out) in (True, False)

@@ -1,0 +1,150 @@
+"""Differential tests: TPU protocol vs golden oracle, bit-exact in
+deterministic mode, plus real-transcript round trips and rejection probes.
+
+Restores the reference's commented-out e2e sweep shape (range/mod.rs:520-566)
+at CI-friendly sizes.
+"""
+import jax.numpy as jnp
+import pytest
+
+from bulletproofsplus_tpu import (
+    PublicKey,
+    RangeProver,
+    ShaTranscript,
+    SystemRng,
+    VerificationError,
+    curve_ops,
+    prove,
+    verify,
+)
+from bulletproofsplus_tpu.golden import CURVES as GOLDEN_CURVES
+from bulletproofsplus_tpu.golden import (
+    PublicKey as GPublicKey,
+    RangeProver as GRangeProver,
+    protocol as gprotocol,
+)
+
+
+def _setup(curve_name, n, m, vs=None, gammas=None):
+    curve = curve_ops(curve_name)
+    pk = PublicKey.new(curve, n * m)
+    prover = RangeProver()
+    vs = vs if vs is not None else [(3 * i + 2) % (1 << n) for i in range(m)]
+    gammas = gammas or [2 * i + 3 for i in range(m)]
+    for v, g in zip(vs, gammas):
+        prover.commit(pk, v, g)
+    return curve, pk, prover, vs, gammas
+
+
+@pytest.mark.parametrize("curve_name,n,m", [
+    ("edwards25519", 16, 1),
+    ("edwards25519", 16, 2),
+    ("bls12_381", 8, 2),
+])
+def test_prove_bit_exact_vs_golden(curve_name, n, m):
+    """Deterministic mode must reproduce the golden (= reference) proof
+    byte-for-byte."""
+    curve, pk, prover, vs, gammas = _setup(curve_name, n, m)
+
+    gc = GOLDEN_CURVES[curve_name]
+    gpk = GPublicKey.new(gc, n * m)
+    gprover = GRangeProver()
+    for v, g in zip(vs, gammas):
+        gprover.commit(gc, gpk, v, g)
+
+    # commitments must agree
+    assert curve.decode_points(jnp.stack(prover.commitment_vec)) == (
+        gprover.commitment_vec
+    )
+
+    proof = prove(curve, pk, n, prover)
+    gproof = gprotocol.prove(gc, gpk, n, gprover)
+
+    got = proof.to_golden(curve)
+    assert got.A == gproof.A
+    assert got.proof.L_vec == gproof.proof.L_vec
+    assert got.proof.R_vec == gproof.proof.R_vec
+    assert got.proof.A == gproof.proof.A
+    assert got.proof.B == gproof.proof.B
+    assert got.proof.r_prime == gproof.proof.r_prime
+    assert got.proof.s_prime == gproof.proof.s_prime
+    assert got.proof.d_prime == gproof.proof.d_prime
+
+    # and the TPU verifier accepts the TPU proof
+    verify(curve, proof, pk, n, prover.commitment_vec)
+    # cross-check: golden verifier accepts the decoded TPU proof
+    gprotocol.verify(gc, got, gpk, n, gprover.commitment_vec)
+
+
+@pytest.mark.parametrize("curve_name", ["secp256k1"])
+def test_prove_bit_exact_secp(curve_name):
+    curve, pk, prover, vs, gammas = _setup(curve_name, 8, 1)
+    gc = GOLDEN_CURVES[curve_name]
+    gpk = GPublicKey.new(gc, 8)
+    gprover = GRangeProver()
+    for v, g in zip(vs, gammas):
+        gprover.commit(gc, gpk, v, g)
+    proof = prove(curve, pk, 8, prover)
+    gproof = gprotocol.prove(gc, gpk, 8, gprover)
+    assert proof.to_golden(curve).proof.r_prime == gproof.proof.r_prime
+    verify(curve, proof, pk, 8, prover.commitment_vec)
+
+
+@pytest.mark.parametrize("curve_name", ["edwards25519"])
+@pytest.mark.parametrize("n,m", [(16, 2)])
+def test_real_transcript_roundtrip(curve_name, n, m):
+    """ShaTranscript + SystemRng: sound mode round-trips and rejects tampering."""
+    curve, pk, prover, _, _ = _setup(curve_name, n, m)
+    proof = prove(
+        curve, pk, n, prover,
+        transcript=ShaTranscript(m), rng=SystemRng(curve.fn.p),
+    )
+    verify(curve, proof, pk, n, prover.commitment_vec,
+           transcript=ShaTranscript(m))
+
+    # deterministic-transcript verifier must reject a real-transcript proof
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, n, prover.commitment_vec)
+
+
+@pytest.mark.parametrize("curve_name", ["edwards25519"])
+def test_tampered_proof_rejected(curve_name):
+    curve, pk, prover, _, _ = _setup(curve_name, 16, 2)
+    proof = prove(curve, pk, 16, prover)
+
+    # tamper r_prime
+    bad = proof
+    orig = bad.proof.r_prime
+    bad.proof.r_prime = jnp.asarray(curve.fn.encode(12345))
+    with pytest.raises(VerificationError):
+        verify(curve, bad, pk, 16, prover.commitment_vec)
+    bad.proof.r_prime = orig
+
+    # tamper L_vec[0]
+    orig_L = bad.proof.L_vec
+    bad.proof.L_vec = orig_L.at[0].set(jnp.asarray(curve.encode_point(None)))
+    with pytest.raises(VerificationError):
+        verify(curve, bad, pk, 16, prover.commitment_vec)
+    bad.proof.L_vec = orig_L
+
+    # swapped commitments
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, 16, prover.commitment_vec[::-1])
+
+    # wrong n
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, 16 * 2, prover.commitment_vec)
+
+
+@pytest.mark.parametrize("curve_name", ["edwards25519"])
+def test_out_of_range_value_rejected(curve_name):
+    """v >= 2^n: prove runs (bits above n are dropped) but verify must
+    reject, because the dropped bits falsify the committed value."""
+    curve = curve_ops(curve_name)
+    n = 16
+    pk = PublicKey.new(curve, n)
+    prover = RangeProver()
+    prover.commit(pk, (1 << n) + 5, 7)
+    proof = prove(curve, pk, n, prover)
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, n, prover.commitment_vec)
