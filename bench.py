@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bulletproofsplus_tpu.utils.cache import setup_compilation_cache
@@ -86,9 +88,12 @@ def main():
     for i in range(m):
         prover.commit(pk, (3 * i + 2) % (1 << n), 2 * i + 3)
 
+    # NOTE: timings force a device->host fetch (np.asarray), because the
+    # axon remote backend's block_until_ready returns before execution —
+    # naive timings under-report by orders of magnitude.
     t0 = time.time()
     proof = prove(curve, pk, n, prover)
-    proof.proof.r_prime.block_until_ready()
+    np.asarray(proof.proof.r_prime)
     prove_s = time.time() - t0
 
     # warmup (compiles cached across runs via persistent cache)

@@ -10,8 +10,14 @@ arithmetic vectorized for the TPU VPU and MSMs sharded over device meshes.
 Public API (mirrors the reference's src/lib.rs:11-13 re-exports):
     PublicKey, RangeProof, RangeProver, prove, verify, curve_ops
 """
-from . import errors
-from .curves import CURVE_NAMES, curve_ops
+from .utils.cache import setup_compilation_cache as _setup_cache
+
+# Persistent XLA compilation cache (TPU only; see utils/cache.py). Program
+# compiles dominate cold-start by 100x, so this is on for every entrypoint.
+_setup_cache()
+
+from . import errors  # noqa: E402
+from .curves import CURVE_NAMES, curve_ops  # noqa: E402
 from .errors import ProofError, VerificationError
 from .protocol import PublicKey, RangeProof, RangeProver, prove, verify
 from .transcript import (

@@ -1,6 +1,7 @@
 """Vectorized modular arithmetic over limb arrays (the TPU field core).
 
-A field element is a little-endian vector of W=12-bit limbs in int32; a batch
+A field element is a little-endian vector of W-bit limbs (12-bit/int32 on
+TPU, 24-bit/int64 on CPU; see fields/spec.py); a batch
 of N elements is an (N, L) array; all ops broadcast over leading axes. The
 internal representation is Montgomery form (x·R mod p, R = 2^(W·L)); use
 `encode`/`decode` at host boundaries.
@@ -24,10 +25,7 @@ import numpy as np
 from jax import lax
 
 from ..utils.convert import int_to_limbs, limbs_to_int
-from .spec import LIMB_BITS, LIMB_MASK, FieldSpec
-
-W = LIMB_BITS
-MASK = LIMB_MASK
+from .spec import FieldSpec
 
 
 def jit_method(*, static_argnums=()):
@@ -70,6 +68,14 @@ class FieldOps:
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
+        self.W = spec.limb_bits
+        self.MASK = spec.mask
+        if self.W > 15:
+            # int64 lanes require x64 mode or jnp silently downcasts and the
+            # 2W-bit partial products overflow
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
         self.L = spec.num_limbs
         self.p = spec.modulus
         self.p_arr = spec.p_limbs  # (L,) np.int32
@@ -78,14 +84,14 @@ class FieldOps:
         self.n0inv = spec.n0inv
         self.nprime_arr = spec.nprime_limbs  # (L,) -p^{-1} mod R
         self.r_mod_p = spec.r_mod_p
-        self.r2_arr = int_to_limbs(spec.r2_mod_p, self.L)
-        self.one_np = int_to_limbs(spec.r_mod_p, self.L)  # 1 in Montgomery form
-        self.one_plain_np = int_to_limbs(1, self.L)
-        self.zero_np = np.zeros(self.L, dtype=np.int32)
+        self.r2_arr = int_to_limbs(spec.r2_mod_p, self.L, self.W)
+        self.one_np = int_to_limbs(spec.r_mod_p, self.L, self.W)  # 1 in Montgomery form
+        self.one_plain_np = int_to_limbs(1, self.L, self.W)
+        self.zero_np = np.zeros_like(self.p_arr)
         # bit extraction tables for W-bit limbs
-        nbits = self.L * W
-        self._bit_limb = np.arange(nbits, dtype=np.int32) // W
-        self._bit_shift = np.arange(nbits, dtype=np.int32) % W
+        nbits = self.L * self.W
+        self._bit_limb = np.arange(nbits, dtype=np.int32) // self.W
+        self._bit_shift = (np.arange(nbits) % self.W).astype(self.p_arr.dtype)
 
     # ------------------------------------------------------------------
     # host-side encode / decode
@@ -94,7 +100,8 @@ class FieldOps:
     def encode(self, x: Union[int, Sequence[int]]) -> np.ndarray:
         """Python int(s) → Montgomery-form limb array ((L,) or (N, L))."""
         if isinstance(x, (int, np.integer)):
-            return int_to_limbs((int(x) % self.p) * self.r_mod_p % self.p, self.L)
+            return int_to_limbs((int(x) % self.p) * self.r_mod_p % self.p,
+                                self.L, self.W)
         return np.stack([self.encode(int(v)) for v in x], axis=0)
 
     def decode(self, arr) -> Union[int, List[int]]:
@@ -102,27 +109,27 @@ class FieldOps:
         a = np.asarray(arr)
         rinv = pow(self.r_mod_p, -1, self.p)
         if a.ndim == 1:
-            return limbs_to_int(a) * rinv % self.p
-        return [limbs_to_int(a[i]) * rinv % self.p for i in range(a.shape[0])]
+            return limbs_to_int(a, self.W) * rinv % self.p
+        return [limbs_to_int(a[i], self.W) * rinv % self.p
+                for i in range(a.shape[0])]
 
     def encode_plain(self, x: Union[int, Sequence[int]]) -> np.ndarray:
         """Int(s) → plain (non-Montgomery) limb array, e.g. MSM scalars."""
         if isinstance(x, (int, np.integer)):
-            return int_to_limbs(int(x) % self.p, self.L)
+            return int_to_limbs(int(x) % self.p, self.L, self.W)
         return np.stack([self.encode_plain(int(v)) for v in x], axis=0)
 
     def decode_plain(self, arr) -> Union[int, List[int]]:
         a = np.asarray(arr)
         if a.ndim == 1:
-            return limbs_to_int(a)
-        return [limbs_to_int(a[i]) for i in range(a.shape[0])]
+            return limbs_to_int(a, self.W)
+        return [limbs_to_int(a[i], self.W) for i in range(a.shape[0])]
 
     # ------------------------------------------------------------------
     # carry handling
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _resolve(t):
+    def _resolve(self, t):
         """Exact log-depth carry resolution.
 
         t: limbs in [-2^12+1, 2^12]. Per-limb the carry-out is a monotone
@@ -134,6 +141,7 @@ class FieldOps:
         Returns (canonical limbs with carries applied, final carry F(0)).
         A final carry of -1 means the represented value was negative.
         """
+        W = self.W
         fm1 = (t - 1) >> W
         f0 = t >> W
         fp1 = (t + 1) >> W
@@ -160,7 +168,7 @@ class FieldOps:
 
         zero = jnp.zeros_like(f0[..., :1])
         c_in = jnp.concatenate([zero, f0[..., :-1]], axis=-1)
-        return (t + c_in) & MASK, f0[..., -1]
+        return (t + c_in) & self.MASK, f0[..., -1]
 
     def _carry_norm(self, t):
         """Exact carry propagation → canonical W-bit limbs.
@@ -170,10 +178,11 @@ class FieldOps:
         are < 2p or < p², and every modulus has ≥ 3 spare bits in its top
         limb), so no carry ever escapes the top limb.
         """
-        # Three halving passes: 2^30 → 2^19 → 2^12+2^7 → [-1, 2^12]
+        # Three halving passes, e.g. W=12: 2^30 → 2^19 → 2^12+2^7 → [-1, 2^12]
+        # (W=24/int64: 2^52 → 2^28 → 2^24+2^4 → canonical — same three passes)
         for _ in range(3):
-            hi = t >> W  # arithmetic shift: exact floor for negatives
-            lo = t & MASK
+            hi = t >> self.W  # arithmetic shift: exact floor for negatives
+            lo = t & self.MASK
             t = lo + jnp.concatenate(
                 [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1
             )
@@ -202,9 +211,9 @@ class FieldOps:
         return self._cond_sub_p(self._carry_norm(self.p_arr - a))
 
     def _mul_wide(self, a, b):
-        """Schoolbook product → (..., 2L) columns (un-normalized, < 2^29)."""
+        """Schoolbook product → (..., 2L) columns (un-normalized, < 2^(2W+5))."""
         L = self.L
-        o = a[..., :, None] * b[..., None, :]  # (..., L, L), products < 2^24
+        o = a[..., :, None] * b[..., None, :]  # (..., L, L), products < 2^2W
         # Shear trick: pad rows to 2L, flatten, reinterpret at width 2L-1 so
         # row i lands shifted right by i; column sums are then the
         # anti-diagonal (base-2^W column) sums.
@@ -212,9 +221,11 @@ class FieldOps:
         lead = o.shape[:-2]
         flat = o.reshape(*lead, 2 * L * L)
         sheared = flat[..., : L * (2 * L - 1)].reshape(*lead, L, 2 * L - 1)
-        cols = sheared.sum(axis=-2)  # (..., 2L-1)
+        # keep the lane dtype: under x64, jnp.sum would otherwise widen
+        # int32 columns to int64 and break carry dtypes downstream
+        cols = sheared.sum(axis=-2, dtype=a.dtype)  # (..., 2L-1)
         return jnp.concatenate(
-            [cols, jnp.zeros((*lead, 1), jnp.int32)], axis=-1
+            [cols, jnp.zeros((*lead, 1), cols.dtype)], axis=-1
         )  # (..., 2L)
 
     def _redc(self, t):
@@ -235,8 +246,30 @@ class FieldOps:
         s_n = self._carry_norm(s)
         return self._cond_sub_p(s_n[..., L:])  # (T + M·p)/R < 2p
 
+    @functools.cached_property
+    def _pallas_ok(self) -> bool:
+        """Route large multiplies through the fused limb-major Pallas kernel
+        (fields/pallas_ops.py; int32 layout, TPU). Default on for TPU —
+        measured with forced result fetches (the axon remote backend's
+        block_until_ready returns before execution, so naive timings lie):
+        msm(2, 2048) drops 937 ms → 160 ms (5.9x) with the kernel inside
+        the scan body. Override with BPP_PALLAS=0/1."""
+        import os
+
+        flag = os.environ.get("BPP_PALLAS")
+        if flag is not None:
+            return flag == "1"
+        return self.W <= 15 and jax.default_backend() == "tpu"
+
     @jit_method()
     def mul(self, a, b):
+        n = 1
+        for d in jnp.broadcast_shapes(a.shape, b.shape)[:-1]:
+            n *= d
+        if self._pallas_ok and n >= 256:
+            from .pallas_ops import mont_mul
+
+            return mont_mul(self, a, b)
         return self._redc(self._mul_wide(a, b))
 
     @jit_method()
@@ -356,10 +389,28 @@ class FieldOps:
 
     def scalar_bits(self, s, nbits: int | None = None):
         """Plain-form limb scalars (..., L) → bits (..., nbits), LSB first."""
-        nbits = nbits or self.L * W
+        nbits = nbits or self.L * self.W
         idx = self._bit_limb[:nbits]
         sh = self._bit_shift[:nbits]
         return (s[..., idx] >> sh) & 1
+
+    def scalar_digits(self, s, nbits: int | None = None, c: int = 4):
+        """Plain-form limb scalars (..., L) → c-bit digits (..., nwin),
+        LSB-first. c must divide the limb width so no digit straddles limbs."""
+        assert self.W % c == 0, "window must divide the limb width"
+        nbits = nbits or self.L * self.W
+        nwin = -(-nbits // c)
+        pos = np.arange(nwin) * c
+        idx = pos // self.W
+        if int(idx[-1]) >= self.L:
+            raise ValueError("nbits exceeds limb capacity")
+        sh = (pos % self.W).astype(self.p_arr.dtype)
+        return (s[..., idx] >> sh) & ((1 << c) - 1)
+
+    @property
+    def order_bits(self) -> int:
+        """Bit length of the modulus (max meaningful scalar width)."""
+        return self.p.bit_length()
 
     def one_like(self, a):
         return jnp.broadcast_to(jnp.asarray(self.one_np), a.shape)

@@ -54,7 +54,7 @@ def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
     axis, computes one partial MSM per device, and combines the ndev partials
     with a log-depth tree of point adds.
     """
-    nbits = nbits or curve.fn.L * 12
+    nbits = nbits or curve.fn.order_bits
     ndev = mesh.shape[axis]
     n = points.shape[0]
     per = _next_pow2(-(-n // ndev))

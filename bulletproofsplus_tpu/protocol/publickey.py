@@ -12,9 +12,6 @@ import dataclasses
 import hashlib
 
 import jax.numpy as jnp
-import numpy as np
-
-from ..msm import msm, scalar_mul
 
 
 @dataclasses.dataclass
@@ -29,23 +26,27 @@ class PublicKey:
 
     @classmethod
     def new(cls, curve, length: int) -> "PublicKey":
-        """Small-multiple generators (publickey.rs:23-39), batched on device."""
-        from ..curves.instances import base_point
+        """Small-multiple generators (publickey.rs:23-39).
 
-        base = jnp.asarray(curve.encode_point(base_point(curve.name)))
-        idx = np.arange(1, length + 1, dtype=object)
-        ks = [1, 2] + [3 * int(i) for i in idx] + [5 * int(i) for i in idx]
-        s = jnp.asarray(curve.fn.encode_plain(ks))
-        nbits = max(8, (5 * length).bit_length())
-        pts = scalar_mul(
-            curve, s, jnp.broadcast_to(base, (len(ks), *base.shape)), nbits=nbits
-        )
+        Setup is input preparation, not proving/verifying work, so the
+        2·length+2 small scalar multiplications run in the native C++ host
+        library (the analogue of the reference doing setup through mcl) and
+        the points are uploaded as limb tensors — no device program at all."""
+        from ..curves.instances import base_point
+        from ..hostmath import host_curve
+
+        hc = host_curve(curve.name)
+        base = base_point(curve.name)
+        ks = ([1, 2] + [3 * (i + 1) for i in range(length)]
+              + [5 * (i + 1) for i in range(length)])
+        pts = [hc.mul(base, k) for k in ks]
+        enc = curve.encode_points(pts)
         return cls(
             curve=curve,
-            g=pts[0],
-            h=pts[1],
-            G_vec=pts[2 : 2 + length],
-            H_vec=pts[2 + length :],
+            g=jnp.asarray(enc[0]),
+            h=jnp.asarray(enc[1]),
+            G_vec=jnp.asarray(enc[2 : 2 + length]),
+            H_vec=jnp.asarray(enc[2 + length :]),
         )
 
     @classmethod
@@ -67,9 +68,20 @@ class PublicKey:
         return self.G_vec.shape[0]
 
     def commitment(self, v: int, gamma: int) -> jnp.ndarray:
-        """Pedersen commitment g·v + h·gamma (publickey.rs:50-52)."""
-        s = jnp.asarray(self.curve.fn.encode_plain([v, gamma]))
-        return msm(self.curve, s, jnp.stack([self.g, self.h]))
+        """Pedersen commitment g·v + h·gamma (publickey.rs:50-52).
+
+        Commitment creation is the committer's (host) step, not the proving
+        hot path — computed in the native host library and uploaded."""
+        from ..hostmath import host_curve
+
+        hc = host_curve(self.curve.name)
+        if not hasattr(self, "_gh_affine"):
+            self._gh_affine = (self.curve.decode_point(self.g),
+                               self.curve.decode_point(self.h))
+        g, h = self._gh_affine
+        return jnp.asarray(
+            self.curve.encode_point(hc.msm([v, gamma], [g, h]))
+        )
 
 
 def _hash_to_point(curve, label: bytes, index: int):

@@ -9,13 +9,19 @@ batch-verifies and shards across a TPU mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import VerificationError
-from ..msm import msm, scalar_mul, tree_sum
+from ..errors import (
+    InvalidAggregation,
+    InvalidBitsize,
+    InvalidGeneratorsLength,
+    VerificationError,
+)
+from ..msm import msm, tree_sum
 from ..transcript import DeterministicRng, DeterministicTranscript
 from .publickey import PublicKey
 from .wip import WipProof, verification_scalars, wip_prove
@@ -89,6 +95,18 @@ def _bit_decompose(v: Sequence[int], n: int, m: int) -> np.ndarray:
     )
 
 
+def _validate(pk, n: int, m: int) -> None:
+    """Argument checks, mirroring the reference's error taxonomy
+    (errors.rs:27 InvalidBitsize, :31-35 InvalidAggregation, :37-41
+    InvalidGeneratorsLength)."""
+    if n not in (8, 16, 32, 64):
+        raise InvalidBitsize()
+    if m < 1 or (m & (m - 1)) != 0:
+        raise InvalidAggregation(m)
+    if pk.length < n * m:
+        raise InvalidGeneratorsLength()
+
+
 def prove(
     curve,
     pk: PublicKey,
@@ -98,6 +116,7 @@ def prove(
     rng=None,
 ) -> RangeProof:
     m = len(prover.v_vec)
+    _validate(pk, n, m)
     transcript = transcript or DeterministicTranscript(m)
     rng = rng or DeterministicRng(m)
     if m == 1:
@@ -126,6 +145,12 @@ def verify(
         else [commitment_vec[i] for i in range(commitment_vec.shape[0])]
     )
     m = len(commitment_vec)
+    try:
+        _validate(pk, n, m)
+    except Exception as exc:
+        # the reference's verify reports every failure as VerificationError
+        # (SURVEY.md §2.8: the only variant actually produced)
+        raise VerificationError(str(exc) or "invalid arguments")
     transcript = transcript or DeterministicTranscript(m)
     if m == 1:
         _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
@@ -140,8 +165,9 @@ def verify(
 def _bit_commitment(curve, pk, alpha_int, v_bits, mn):
     """A = h·α + Σ (bitᵢ ? Gᵢ : −Hᵢ)  (range/mod.rs:96-106, :259-277)."""
     fn = curve.fn
-    h_alpha = scalar_mul(
-        curve, jnp.asarray(fn.encode_plain(alpha_int)), pk.h
+    # width-1 msm reuses the shared small-MSM program (no 1-wide compile)
+    h_alpha = msm(
+        curve, jnp.asarray(fn.encode_plain(alpha_int))[None], pk.h[None]
     )
     chosen = curve.select(
         jnp.asarray(v_bits), pk.G_vec, curve.neg(pk.H_vec)
@@ -167,7 +193,6 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
     power_of_y = fn.powers_type2(y_m, n)
     power_of_y_rev = power_of_y[::-1]
 
-    G_vec_sum = tree_sum(curve, pk.G_vec)
     minus_z = fn.neg(z_m)
     H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)  # (n, L)
     V_exp = fn.powers_type2(y_m, n + 1)[n]  # y^{n+1}
@@ -176,13 +201,16 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
     two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
     g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
 
-    # Â = A − z·ΣG + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V   (range/mod.rs:126-151)
+    # Â = A + Σ (−z)·Gᵢ + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V
+    # (range/mod.rs:126-151; the reference's −z·ΣG single term is spread over
+    # G_vec so Â is one canonical-width MSM with no separate ΣG tree-sum)
     one_m = jnp.asarray(fn.one_np)
     scalars = jnp.concatenate(
-        [one_m[None], minus_z[None], H_exp, g_exp[None], V_exp[None]], axis=0
+        [one_m[None], jnp.broadcast_to(minus_z, (n, fn.L)), H_exp,
+         g_exp[None], V_exp[None]], axis=0
     )
     points = jnp.concatenate(
-        [A[None], G_vec_sum[None], pk.H_vec, pk.g[None], commitment[None]],
+        [A[None], pk.G_vec, pk.H_vec, pk.g[None], commitment[None]],
         axis=0,
     )
     A_hat = msm(curve, fn.from_mont(scalars), points)
@@ -389,14 +417,14 @@ def _prove_multiple(curve, pk, n, m, v, gamma_vec, commitment_vec,
     d_sum = fn.sum(d)
     g_exp = fn.sub(g_exp, fn.mul(fn.mul(d_sum, y_mn1), z_m))
 
-    G_vec_sum = tree_sum(curve, pk.G_vec)
-
+    # −z·ΣG spread over G_vec: Â is one canonical-width MSM (see single path)
     one_m = jnp.asarray(fn.one_np)
     scalars = jnp.concatenate(
-        [one_m[None], minus_z[None], H_exp, g_exp[None], V_exp], axis=0
+        [one_m[None], jnp.broadcast_to(minus_z, (mn, fn.L)), H_exp,
+         g_exp[None], V_exp], axis=0
     )
     points = jnp.concatenate(
-        [A[None], G_vec_sum[None], pk.H_vec, pk.g[None], V], axis=0
+        [A[None], pk.G_vec, pk.H_vec, pk.g[None], V], axis=0
     )
     A_hat = msm(curve, fn.from_mont(scalars), points)
 
@@ -425,73 +453,121 @@ def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):
     _check_identity_msm(curve, pk, inputs)
 
 
+@functools.lru_cache(maxsize=None)
+def _vinputs_multiple_jit(curve, n: int, m: int):
+    """One compiled program for the aggregated verifier's exponent vectors
+    (range/mod.rs:423-477 + wip verification_scalars device math): the
+    ~40 small field ops would otherwise dispatch eagerly and dominate warm
+    verify latency (dispatch ~0.1 s vs 2 ms for the MSM itself)."""
+    fn = curve.fn
+    mn = n * m
+    logn = mn.bit_length() - 1
+    idx_two = np.arange(mn) % n
+    idx_z = np.arange(mn) // n
+    sum_2_np = fn.encode((pow(2, n, fn.p) - 1) % fn.p)  # Σ 2^i, i<n
+    sbit = np.stack(
+        [(np.arange(mn) >> j) & 1 for j in range(logn)], axis=0
+    ).astype(bool)  # (logn, mn) bit table for the s_vec product
+
+    def f(y_m, z_m, challenges, e, r_prime, s_prime, d_prime):
+        minus_z = fn.neg(z_m)
+        z_sqr = fn.mul(z_m, z_m)
+        two_m = jnp.asarray(fn.encode(2))
+        power_of_two = fn.powers_type1(two_m, n)
+        power_of_y_all = fn.powers_type2(y_m, mn + 1)
+        y_mn1 = power_of_y_all[mn]
+        power_of_y = power_of_y_all[:mn]
+        power_of_y_rev = power_of_y[::-1]
+        power_of_z = fn.powers_type2(z_sqr, m)
+        concat_z_and_2 = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
+
+        # verification_scalars device math (wip:330-382)
+        allinv, challenges_inv = fn.batch_invert(challenges)
+        challenges_sqr = fn.mul(challenges, challenges)
+        challenges_inv_sqr = fn.mul(challenges_inv, challenges_inv)
+        s_vec = jnp.broadcast_to(allinv, (mn, fn.L))
+        for j in range(logn):
+            s_vec = fn.select(
+                jnp.asarray(sbit[j]),
+                fn.mul(s_vec, challenges_sqr[logn - 1 - j]),
+                s_vec,
+            )
+        s_prime_vec = s_vec[::-1]
+
+        e_inv = fn.inv(e)
+        e_sqr = fn.mul(e, e)
+        e_sqr_inv = fn.mul(e_inv, e_inv)
+        r_prime_e_inv_y = fn.mul(fn.mul(r_prime, e_inv), y_m)
+        s_prime_e_inv = fn.mul(s_prime, e_inv)
+
+        y_inv = fn.inv(y_m)
+        pow_y_inv = fn.powers_type2(y_inv, mn)
+        G_exp = fn.sub(
+            jnp.broadcast_to(minus_z, (mn, fn.L)),
+            fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_inv_y),
+        )
+        H_exp = fn.add(
+            fn.neg(fn.mul(s_prime_e_inv, s_prime_vec)),
+            fn.add(fn.mul(concat_z_and_2, power_of_y_rev), z_m),
+        )
+
+        sum_y = fn.sum(power_of_y)
+        sum_z = fn.sum(power_of_z)
+        g_exp = fn.add(
+            fn.neg(fn.mul(fn.mul(fn.mul(r_prime, s_prime), y_m), e_sqr_inv)),
+            fn.sub(
+                fn.mul(sum_y, fn.sub(z_m, z_sqr)),
+                fn.mul(fn.mul(fn.mul(y_mn1, z_m), jnp.asarray(sum_2_np)), sum_z),
+            ),
+        )
+        h_exp = fn.neg(fn.mul(d_prime, e_sqr_inv))
+        V_exp = fn.mul(power_of_z, y_mn1)
+
+        one_m = jnp.asarray(fn.one_np)
+        unique_scalars = jnp.concatenate(
+            [one_m[None], e_inv[None], e_sqr_inv[None],
+             challenges_sqr, challenges_inv_sqr, V_exp], axis=0
+        )
+        return unique_scalars, G_exp, H_exp, g_exp, h_exp
+
+    import jax
+
+    return jax.jit(f)
+
+
 def _verification_inputs_multiple(curve, proof, pk, n, m, commitment_vec,
                                   transcript):
     fn = curve.fn
     mn = n * m
     wproof = proof.proof
+    logn = wproof.rounds
+    if mn != (1 << logn) or logn != mn.bit_length() - 1:
+        raise VerificationError()
 
     V = jnp.stack(list(commitment_vec))
+    # host side: Fiat-Shamir replay (hashing is inherently host-side)
     y, z = transcript.challenge_yz(curve, list(commitment_vec), proof.A)
-    y_m = jnp.asarray(fn.encode(y))
-    z_m = jnp.asarray(fn.encode(z))
-    minus_z = fn.neg(z_m)
-    z_sqr = fn.mul(z_m, z_m)
+    es = [
+        transcript.round_challenge(curve, wproof.L_vec[i], wproof.R_vec[i]) % fn.p
+        for i in range(logn)
+    ]
+    e = transcript.final_challenge(curve, wproof.A, wproof.B) % fn.p
+    if any(c == 0 for c in es) or e == 0 or y % fn.p == 0 or z % fn.p == 0:
+        raise VerificationError()
 
-    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
-    power_of_y_all = fn.powers_type2(y_m, mn + 1)
-    y_mn1 = power_of_y_all[mn]
-    power_of_y = power_of_y_all[:mn]
-    power_of_y_rev = power_of_y[::-1]
-    power_of_z = fn.powers_type2(z_sqr, m)
-    idx_two = np.arange(mn) % n
-    idx_z = np.arange(mn) // n
-    concat_z_and_2 = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
-
-    challenges_sqr, challenges_inv_sqr, s_vec, e = verification_scalars(
-        curve, wproof, mn, transcript
+    unique_scalars, G_exp, H_exp, g_exp, h_exp = _vinputs_multiple_jit(
+        curve, n, m
+    )(
+        jnp.asarray(fn.encode(y)),
+        jnp.asarray(fn.encode(z)),
+        jnp.asarray(fn.encode(es)),
+        jnp.asarray(fn.encode(e)),
+        wproof.r_prime,
+        wproof.s_prime,
+        wproof.d_prime,
     )
-    s_prime_vec = s_vec[::-1]
-
-    e_inv = fn.inv(e)
-    e_sqr = fn.mul(e, e)
-    e_sqr_inv = fn.mul(e_inv, e_inv)
-    r_prime_e_inv_y = fn.mul(fn.mul(wproof.r_prime, e_inv), y_m)
-    s_prime_e_inv = fn.mul(wproof.s_prime, e_inv)
-
-    y_inv = fn.inv(y_m)
-    pow_y_inv = fn.powers_type2(y_inv, mn)
-    G_exp = fn.sub(
-        jnp.broadcast_to(minus_z, (mn, fn.L)),
-        fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_inv_y),
-    )
-    H_exp = fn.add(
-        fn.neg(fn.mul(s_prime_e_inv, s_prime_vec)),
-        fn.add(fn.mul(concat_z_and_2, power_of_y_rev), z_m),
-    )
-
-    sum_y = fn.sum(power_of_y)
-    sum_2 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))  # Σ 2^i, i<n
-    sum_z = fn.sum(power_of_z)
-
-    g_exp = fn.add(
-        fn.neg(
-            fn.mul(fn.mul(fn.mul(wproof.r_prime, wproof.s_prime), y_m), e_sqr_inv)
-        ),
-        fn.sub(
-            fn.mul(sum_y, fn.sub(z_m, z_sqr)),
-            fn.mul(fn.mul(fn.mul(y_mn1, z_m), sum_2), sum_z),
-        ),
-    )
-    h_exp = fn.neg(fn.mul(wproof.d_prime, e_sqr_inv))
-    V_exp = fn.mul(power_of_z, y_mn1)
-
-    one_m = jnp.asarray(fn.one_np)
     return VerificationInputs(
-        unique_scalars=jnp.concatenate(
-            [one_m[None], e_inv[None], e_sqr_inv[None],
-             challenges_sqr, challenges_inv_sqr, V_exp], axis=0
-        ),
+        unique_scalars=unique_scalars,
         unique_points=jnp.concatenate(
             [proof.A[None], wproof.A[None], wproof.B[None],
              wproof.L_vec, wproof.R_vec, V], axis=0

@@ -46,12 +46,34 @@ def _wip(fn, a, b, y):
     return fn.sum(fn.mul(fn.mul(a, b), y))
 
 
+def _pad_points(curve, points, width: int):
+    """Pad the -3 (pair) axis with identity points up to `width`."""
+    n = points.shape[-3]
+    if n >= width:
+        return points
+    pad = jnp.broadcast_to(
+        jnp.asarray(curve.identity_np),
+        (*points.shape[:-3], width - n, *points.shape[-2:]),
+    )
+    return jnp.concatenate([points, pad], axis=-3)
+
+
 def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:
     """Fold loop (wip:36-227). a, b, power_of_y: (n, L) Montgomery arrays;
-    alpha: (L,); P: (C, L). Challenges/blinds come from host transcript/rng."""
+    alpha: (L,); P: (C, L). Challenges/blinds come from host transcript/rng.
+
+    Compile discipline: L and R are ONE batched (2, W) MSM per round, and the
+    generator folds are ONE (4, n/2-padded) scalar-mul per round padded to a
+    per-proof-size constant — so the whole fold loop runs on two or three
+    compiled programs regardless of round. The reference's running
+    P += e²L + e⁻²R (wip:137-142) is dropped: P is never read again by the
+    prover (the proof output is L/R/A/B/r'/s'/δ' only), so it is dead work."""
+    from ..msm.engine import small_floor
+
     fn = curve.fn
     n = a.shape[0]
     assert n & (n - 1) == 0, "length must be a power of two"
+    fold_pad = max(small_floor(), n // 2)  # one fold program per proof size
     G = pk.G_vec
     H = pk.H_vec
     g1 = pk.g[None]
@@ -79,18 +101,21 @@ def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProo
         y_nhat_inv = fn.inv(y_nhat)
 
         # L = Σ (ŷ⁻¹a1)ᵢ·G2ᵢ + Σ b2ᵢ·H1ᵢ + c_L·g + d_L·h   (wip:98-113)
-        L_scalars = jnp.concatenate(
-            [fn.mul(a1, y_nhat_inv), b2, c_L[None], d_L_m[None]], axis=0
-        )
-        L_points = jnp.concatenate([G2, H1, g1, h1], axis=0)
-        L = msm(curve, fn.from_mont(L_scalars), L_points)
-
         # R = Σ (ŷ·a2)ᵢ·G1ᵢ + Σ b1ᵢ·H2ᵢ + c_R·g + d_R·h   (wip:115-125)
-        R_scalars = jnp.concatenate(
-            [fn.mul(a2, y_nhat), b1, c_R[None], d_R_m[None]], axis=0
-        )
-        R_points = jnp.concatenate([G1, H2, g1, h1], axis=0)
-        R = msm(curve, fn.from_mont(R_scalars), R_points)
+        LR_scalars = jnp.stack([
+            jnp.concatenate(
+                [fn.mul(a1, y_nhat_inv), b2, c_L[None], d_L_m[None]], axis=0
+            ),
+            jnp.concatenate(
+                [fn.mul(a2, y_nhat), b1, c_R[None], d_R_m[None]], axis=0
+            ),
+        ])
+        LR_points = jnp.stack([
+            jnp.concatenate([G2, H1, g1, h1], axis=0),
+            jnp.concatenate([G1, H2, g1, h1], axis=0),
+        ])
+        LR = msm(curve, fn.from_mont(LR_scalars), LR_points)
+        L, R = LR[0], LR[1]
 
         L_list.append(L)
         R_list.append(R)
@@ -101,28 +126,20 @@ def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProo
         e_sqr = fn.mul(e_m, e_m)
         e_sqr_inv = fn.mul(e_inv, e_inv)
 
-        # P += e²·L + e⁻²·R   (wip:137-142)
-        LR = scalar_mul(
-            curve,
-            fn.from_mont(jnp.stack([e_sqr, e_sqr_inv])),
-            jnp.stack([L, R]),
-        )
-        P = curve.add(curve.add(P, LR[0]), LR[1])
-
         y_nhat_e_inv = fn.mul(y_nhat, e_inv)
         y_nhat_inv_e = fn.mul(y_nhat_inv, e_m)
 
         # fold a, b (field) and G, H (group)   (wip:147-164)
         a = fn.add(fn.mul(a1, e_m), fn.mul(a2, y_nhat_e_inv))
         b = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
-        G = curve.add(
-            scalar_mul(curve, fn.from_mont(e_inv), G1),
-            scalar_mul(curve, fn.from_mont(y_nhat_inv_e), G2),
-        )
-        H = curve.add(
-            scalar_mul(curve, fn.from_mont(e_m), H1),
-            scalar_mul(curve, fn.from_mont(e_inv), H2),
-        )
+        fold_scalars = fn.from_mont(
+            jnp.stack([e_inv, y_nhat_inv_e, e_m, e_inv])
+        )[:, None, :]
+        fold_points = jnp.stack([G1, G2, H1, H2])  # (4, n, C, L)
+        fold_points = _pad_points(curve, fold_points, fold_pad)
+        fg = scalar_mul(curve, fold_scalars, fold_points)
+        G = curve.add(fg[0], fg[1])[:n]
+        H = curve.add(fg[2], fg[3])[:n]
         power_of_y = y1
         alpha = fn.add(alpha, fn.add(fn.mul(e_sqr, d_L_m), fn.mul(e_sqr_inv, d_R_m)))
 

@@ -14,13 +14,17 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def setup_compilation_cache(path: str | None = None) -> None:
-    """Opt-in via BPP_JAX_CACHE=1: this machine's XLA:CPU segfaults
-    intermittently inside executable.serialize() during persistent-cache
-    writes (observed in compilation_cache.put_executable_and_time), so the
-    persistent cache is disabled unless explicitly requested."""
-    if os.environ.get("BPP_JAX_CACHE", "0") != "1":
-        return
+    """On by default for both TPU and CPU (disable via BPP_JAX_CACHE=0).
+
+    CPU caching requires codegen restricted to features the machine actually
+    executes — tests/conftest.py forces --xla_cpu_max_isa=AVX2 because this
+    VM's CPUID over-reports AVX-512 subsets; with that restriction cache
+    entries round-trip cleanly (measured: 77 s cold → 17 s warm for the MSM
+    program). TPU executables save ~40 s per program per cold process."""
     import jax
+
+    if os.environ.get("BPP_JAX_CACHE") == "0":
+        return
 
     path = path or os.environ.get("BPP_JAX_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)

@@ -14,11 +14,14 @@ import numpy as np
 
 
 def int_to_limbs(x: int, num_limbs: int, width: int = 12) -> np.ndarray:
-    """Little-endian W-bit limb decomposition of a nonnegative int."""
+    """Little-endian W-bit limb decomposition of a nonnegative int.
+
+    dtype is int32 for widths that keep schoolbook products in int32
+    (W <= 15), int64 otherwise (the CPU-backend 24-bit layout)."""
     if x < 0:
         raise ValueError("int_to_limbs requires a nonnegative integer")
     mask = (1 << width) - 1
-    out = np.empty(num_limbs, dtype=np.int32)
+    out = np.empty(num_limbs, dtype=np.int32 if width <= 15 else np.int64)
     for i in range(num_limbs):
         out[i] = x & mask
         x >>= width

@@ -12,9 +12,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # This machine's CPUID reports AVX-512 subsets the VM doesn't reliably
+    # execute (see the cpu_aot_loader feature-mismatch warnings); XLA:CPU
+    # intermittently segfaults inside backend_compile_and_load in long
+    # processes. Restricting codegen to AVX2 has been stable.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -14,6 +14,20 @@ from bulletproofsplus_tpu.golden.field import Fp
 
 N = 17  # deliberately not a power of two
 
+# Both limb layouts are correctness-critical: 12-bit/int32 is the TPU layout,
+# 24-bit/int64 the CPU one. The full six-modulus sweep runs on the (fast)
+# 24-bit layout; the 12-bit layout is covered on the widest modulus (bls fq,
+# 32 limbs) and a 255-bit one.
+W12_NAMES = ["bls12_381_fq", "ed25519_fl"]
+
+
+def ops_for(name, w):
+    return field_ops(ALL_SPECS[name].with_limb_bits(w))
+
+
+def width_cases(names12=W12_NAMES):
+    return [(n, 24) for n in sorted(ALL_SPECS)] + [(n, 12) for n in names12]
+
 
 def rand_elems(p, n, seed):
     rng = random.Random(seed)
@@ -22,10 +36,10 @@ def rand_elems(p, n, seed):
     return [x % p for x in base] + [rng.randrange(p) for _ in range(n - len(base))]
 
 
-@pytest.mark.parametrize("name", sorted(ALL_SPECS))
-def test_encode_decode_roundtrip(name):
+@pytest.mark.parametrize("name,w", width_cases())
+def test_encode_decode_roundtrip(name, w):
     spec = ALL_SPECS[name]
-    ops = field_ops(spec)
+    ops = ops_for(name, w)
     xs = rand_elems(spec.modulus, N, seed=1)
     arr = ops.encode(xs)
     assert ops.decode(arr) == xs
@@ -33,10 +47,10 @@ def test_encode_decode_roundtrip(name):
     assert ops.decode_plain(arr_p) == xs
 
 
-@pytest.mark.parametrize("name", sorted(ALL_SPECS))
-def test_ring_ops(name):
+@pytest.mark.parametrize("name,w", width_cases())
+def test_ring_ops(name, w):
     spec = ALL_SPECS[name]
-    ops = field_ops(spec)
+    ops = ops_for(name, w)
     gold = Fp(spec.modulus, name)
     xs = rand_elems(spec.modulus, N, seed=2)
     ys = rand_elems(spec.modulus, N, seed=3)
@@ -49,10 +63,13 @@ def test_ring_ops(name):
     assert ops.decode(ops.sqr(a)) == [gold.sqr(x) for x in xs]
 
 
-@pytest.mark.parametrize("name", ["bls12_381_fr", "secp256k1_fp", "ed25519_fp"])
-def test_inv_and_pow(name):
+@pytest.mark.parametrize("name,w", [
+    ("bls12_381_fr", 24), ("secp256k1_fp", 24), ("ed25519_fp", 24),
+    ("bls12_381_fq", 12),
+])
+def test_inv_and_pow(name, w):
     spec = ALL_SPECS[name]
-    ops = field_ops(spec)
+    ops = ops_for(name, w)
     gold = Fp(spec.modulus, name)
     xs = [x for x in rand_elems(spec.modulus, 10, seed=4) if x != 0]
     a = ops.encode(xs)
@@ -66,7 +83,7 @@ def test_inv_and_pow(name):
 @pytest.mark.parametrize("name", ["bls12_381_fr", "ed25519_fl"])
 def test_batch_invert(name):
     spec = ALL_SPECS[name]
-    ops = field_ops(spec)
+    ops = ops_for(name, 24)
     gold = Fp(spec.modulus, name)
     xs = [x for x in rand_elems(spec.modulus, 13, seed=5) if x != 0]
     allinv_g, invs_g = gold.batch_invert(xs)
@@ -78,7 +95,7 @@ def test_batch_invert(name):
 @pytest.mark.parametrize("name", ["bls12_381_fr", "secp256k1_fn"])
 def test_powers_and_sum(name):
     spec = ALL_SPECS[name]
-    ops = field_ops(spec)
+    ops = ops_for(name, 24)
     gold = Fp(spec.modulus, name)
     x = 1234567890123456789
     p2 = ops.decode(ops.powers_type2(ops.encode(x), 9))
@@ -90,8 +107,11 @@ def test_powers_and_sum(name):
     assert ops.decode(ops.sum(ops.encode(xs))) == sum(xs) % spec.modulus
 
 
-def test_scalar_bits():
-    ops = field_ops(ALL_SPECS["ed25519_fl"])
+@pytest.mark.parametrize("w", [12, 24])
+def test_scalar_bits_and_digits(w):
+    ops = ops_for("ed25519_fl", w)
     x = 0b1011001110001111
     bits = np.asarray(ops.scalar_bits(ops.encode_plain(x)[None, :], 20))[0]
     assert list(bits) == [(x >> k) & 1 for k in range(20)]
+    digs = np.asarray(ops.scalar_digits(ops.encode_plain(x)[None, :], 20, 4))[0]
+    assert list(digs) == [(x >> (4 * k)) & 15 for k in range(5)]

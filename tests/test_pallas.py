@@ -1,0 +1,37 @@
+"""Differential tests for the fused limb-major Pallas Montgomery multiply
+(fields/pallas_ops.py) in interpreter mode (runs on the CPU mesh; the same
+kernel compiles via Mosaic on TPU — exercised by bench/profiling runs)."""
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from bulletproofsplus_tpu.fields import ALL_SPECS, field_ops
+from bulletproofsplus_tpu.fields.pallas_ops import BLOCK, mont_mul
+
+
+@pytest.mark.parametrize("name", ["ed25519_fp", "bls12_381_fq"])
+def test_mont_mul_matches_field_ops(name):
+    spec = ALL_SPECS[name]  # 12-bit/int32 layout — the TPU kernel layout
+    ops = field_ops(spec)
+    p = spec.modulus
+    rng = random.Random(9)
+    xs = [rng.randrange(p) for _ in range(10)] + [0, 1, p - 1, p - 2]
+    ys = [rng.randrange(p) for _ in range(10)] + [p - 1, 1, p - 1, 2]
+    a, b = jnp.asarray(ops.encode(xs)), jnp.asarray(ops.encode(ys))
+    got = mont_mul(ops, a, b, interpret=True)
+    assert ops.decode(got) == [x * y % p for x, y in zip(xs, ys)]
+
+
+def test_mont_mul_multi_block_and_broadcast():
+    spec = ALL_SPECS["ed25519_fp"]
+    ops = field_ops(spec)
+    p = spec.modulus
+    rng = random.Random(10)
+    n = BLOCK + 3  # forces padding + a second grid step
+    xs = [rng.randrange(p) for _ in range(n)]
+    y = rng.randrange(p)
+    a = jnp.asarray(ops.encode(xs))
+    b = jnp.asarray(ops.encode(y))  # (L,) broadcast against (n, L)
+    got = mont_mul(ops, a, b, interpret=True)
+    assert ops.decode(got) == [x * y % p for x in xs]

@@ -34,40 +34,47 @@ def test_sharded_msm_matches_plain():
     assert curve.decode_point(got) == gc.msm(ks, pts)
 
 
-def _make_proofs(curve, n, m, count, bad_index=None):
+@pytest.fixture(scope="module")
+def proof_batch():
+    """Three (n=8, m=2) proofs over one pk, built once and shared by every
+    batch-verification test (proving dominates test wall-clock)."""
+    curve = curve_ops("edwards25519")
+    n, m = 8, 2
     pk = PublicKey.new(curve, n * m)
     proofs, commits = [], []
-    for j in range(count):
+    for j in range(3):
         prover = RangeProver()
         for i in range(m):
             prover.commit(pk, (5 * j + 3 * i + 2) % (1 << n), 2 * i + j + 3)
         proofs.append(prove(curve, pk, n, prover))
         commits.append(prover.commitment_vec)
-    if bad_index is not None:
-        proofs[bad_index].proof.r_prime = jnp.asarray(
-            curve.fn.encode(987654321)
-        )
-    return pk, proofs, commits
+    return curve, pk, proofs, commits
 
 
-def test_batch_verify_accepts():
-    curve = curve_ops("edwards25519")
-    pk, proofs, commits = _make_proofs(curve, 8, 2, 3)
+def test_batch_verify_accepts(proof_batch):
+    curve, pk, proofs, commits = proof_batch
     batch_verify(curve, pk, 8, proofs, commits)
 
 
-def test_batch_verify_rejects_one_bad():
-    curve = curve_ops("edwards25519")
-    pk, proofs, commits = _make_proofs(curve, 8, 2, 3, bad_index=1)
+def test_batch_verify_rejects_one_bad(proof_batch):
+    import dataclasses
+
+    curve, pk, proofs, commits = proof_batch
+    bad = list(proofs)
+    bad[1] = dataclasses.replace(
+        bad[1],
+        proof=dataclasses.replace(
+            bad[1].proof, r_prime=jnp.asarray(curve.fn.encode(987654321))
+        ),
+    )
     with pytest.raises(VerificationError):
-        batch_verify(curve, pk, 8, proofs, commits)
+        batch_verify(curve, pk, 8, bad, commits)
 
 
-def test_batch_verify_sharded():
-    curve = curve_ops("edwards25519")
-    pk, proofs, commits = _make_proofs(curve, 8, 2, 2)
+def test_batch_verify_sharded(proof_batch):
+    curve, pk, proofs, commits = proof_batch
     mesh = default_mesh(8, dp=1)
-    batch_verify(curve, pk, 8, proofs, commits, mesh=mesh)
+    batch_verify(curve, pk, 8, proofs[:2], commits[:2], mesh=mesh)
 
 
 def test_dryrun_multichip():

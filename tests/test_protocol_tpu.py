@@ -37,8 +37,8 @@ def _setup(curve_name, n, m, vs=None, gammas=None):
 
 
 @pytest.mark.parametrize("curve_name,n,m", [
-    ("edwards25519", 16, 1),
-    ("edwards25519", 16, 2),
+    ("edwards25519", 8, 1),
+    ("edwards25519", 8, 2),
     ("bls12_381", 8, 2),
 ])
 def test_prove_bit_exact_vs_golden(curve_name, n, m):
@@ -91,7 +91,7 @@ def test_prove_bit_exact_secp(curve_name):
 
 
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
-@pytest.mark.parametrize("n,m", [(16, 2)])
+@pytest.mark.parametrize("n,m", [(8, 2)])
 def test_real_transcript_roundtrip(curve_name, n, m):
     """ShaTranscript + SystemRng: sound mode round-trips and rejects tampering."""
     curve, pk, prover, _, _ = _setup(curve_name, n, m)
@@ -109,31 +109,31 @@ def test_real_transcript_roundtrip(curve_name, n, m):
 
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
 def test_tampered_proof_rejected(curve_name):
-    curve, pk, prover, _, _ = _setup(curve_name, 16, 2)
-    proof = prove(curve, pk, 16, prover)
+    curve, pk, prover, _, _ = _setup(curve_name, 8, 2)
+    proof = prove(curve, pk, 8, prover)
 
     # tamper r_prime
     bad = proof
     orig = bad.proof.r_prime
     bad.proof.r_prime = jnp.asarray(curve.fn.encode(12345))
     with pytest.raises(VerificationError):
-        verify(curve, bad, pk, 16, prover.commitment_vec)
+        verify(curve, bad, pk, 8, prover.commitment_vec)
     bad.proof.r_prime = orig
 
     # tamper L_vec[0]
     orig_L = bad.proof.L_vec
     bad.proof.L_vec = orig_L.at[0].set(jnp.asarray(curve.encode_point(None)))
     with pytest.raises(VerificationError):
-        verify(curve, bad, pk, 16, prover.commitment_vec)
+        verify(curve, bad, pk, 8, prover.commitment_vec)
     bad.proof.L_vec = orig_L
 
     # swapped commitments
     with pytest.raises(VerificationError):
-        verify(curve, proof, pk, 16, prover.commitment_vec[::-1])
+        verify(curve, proof, pk, 8, prover.commitment_vec[::-1])
 
     # wrong n
     with pytest.raises(VerificationError):
-        verify(curve, proof, pk, 16 * 2, prover.commitment_vec)
+        verify(curve, proof, pk, 8 * 2, prover.commitment_vec)
 
 
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
@@ -141,7 +141,7 @@ def test_out_of_range_value_rejected(curve_name):
     """v >= 2^n: prove runs (bits above n are dropped) but verify must
     reject, because the dropped bits falsify the committed value."""
     curve = curve_ops(curve_name)
-    n = 16
+    n = 8
     pk = PublicKey.new(curve, n)
     prover = RangeProver()
     prover.commit(pk, (1 << n) + 5, 7)
