@@ -1,4 +1,4 @@
-"""Whole-ladder MSM kernel for edwards25519 (Pallas, limb-major).
+"""Whole-ladder MSM kernels (Pallas, limb-major) for all three backends.
 
 One kernel instance runs the ENTIRE 4-bit windowed ladder for a block of
 points: table build (15 adds), then ceil(nbits/4) windows of 4 doublings +
@@ -6,13 +6,22 @@ table select + add — all on VMEM-resident (rows, lanes) tensors with the
 batch on the lane axis. HBM traffic per block is exactly: points + digits
 in, accumulator out. This is the speed-of-light shape for the verifier's
 single-MSM hot path (reference range/mod.rs:479-509): the XLA scan path
-round-trips every intermediate through HBM (~937 ms for a (2,2048) MSM),
-per-multiply Pallas cuts it to ~160 ms, and this kernel removes the
-remaining inter-op traffic.
+round-trips every intermediate through HBM (~937 ms for a (2,2048)
+edwards25519 MSM), per-multiply Pallas cuts it to ~160 ms, and this kernel
+removes the remaining inter-op traffic.
 
-Point layout in-kernel: extended coordinates (X, Y, Z, T), each an
-(L, BN) limb-major tensor (add-2008-hwcd-3 complete formulas, a = -1 —
-same math as curves/edwards.py, differentially tested against it).
+Two point families, one kernel skeleton:
+- edwards25519 — extended coordinates (X, Y, Z, T), add-2008-hwcd-3 with
+  a = -1 (complete), constant k·2d; identity (0, 1, 1, 0). Same math as
+  curves/edwards.py.
+- bls12-381 G1 / secp256k1 — homogeneous projective (X, Y, Z),
+  Renes-Costello-Batina complete a = 0 formulas (eprint 2015/1060 alg 7/9),
+  constant b3; identity (0, 1, 0). Same math as curves/weierstrass.py.
+Each coordinate is an (L, BN) limb-major tensor; correctness is
+differentially tested against the XLA curve ops in tests/test_pallas.py.
+
+VMEM budget (v5e ~16 MB/core): the 16-entry table is the big buffer —
+bls12-381 (L=32, 3 coords): 16·96 rows × 512 lanes × 4 B ≈ 3.1 MB.
 """
 from __future__ import annotations
 
@@ -25,8 +34,13 @@ from jax import lax
 
 from ..fields.pallas_ops import LimbMajorField
 
-BLOCK = 512   # lanes per kernel instance
+BLOCK = 512   # lanes per kernel instance (4 lane-tiles)
 WINDOW = 4
+
+
+# ---------------------------------------------------------------------------
+# limb-major point formulas (coordinate tuples of (L, BN) tensors)
+# ---------------------------------------------------------------------------
 
 
 def _ewadd(f, P, Q, k2d):
@@ -44,7 +58,7 @@ def _ewadd(f, P, Q, k2d):
     return (f.mul(E, F), f.mul(G, H), f.mul(F, G), f.mul(E, H))
 
 
-def _ewdbl(f, P):
+def _ewdbl(f, P, _k2d):
     """dbl-2008-hwcd (a=-1) on (L, BN) coordinate tuples."""
     X1, Y1, Z1, _ = P
     A = f.mul(X1, X1)
@@ -60,12 +74,72 @@ def _ewdbl(f, P):
     return (f.mul(E, F), f.mul(G, H), f.mul(F, G), f.mul(E, H))
 
 
-def _pack(P, L):
-    return jnp.concatenate(list(P), axis=0)  # (4L, BN)
+def _wadd(f, P, Q, b3):
+    """RCB complete addition, a = 0 (2015/1060 alg 7); mirrors
+    WeierstrassOps.add exactly."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = f.mul(X1, X2)
+    t1 = f.mul(Y1, Y2)
+    t2 = f.mul(Z1, Z2)
+    t3 = f.sub(f.sub(f.mul(f.add(X1, Y1), f.add(X2, Y2)), t0), t1)
+    t4 = f.sub(f.sub(f.mul(f.add(Y1, Z1), f.add(Y2, Z2)), t1), t2)
+    t5 = f.sub(f.sub(f.mul(f.add(X1, Z1), f.add(X2, Z2)), t0), t2)
+    t0_3 = f.add(f.add(t0, t0), t0)
+    t2b = f.mul(b3, t2)
+    t5b = f.mul(b3, t5)
+    z3c = f.add(t1, t2b)
+    t1m = f.sub(t1, t2b)
+    X3 = f.sub(f.mul(t3, t1m), f.mul(t4, t5b))
+    Y3 = f.add(f.mul(t1m, z3c), f.mul(t5b, t0_3))
+    Z3 = f.add(f.mul(z3c, t4), f.mul(t0_3, t3))
+    return (X3, Y3, Z3)
 
 
-def _unpack(a, L):
-    return (a[0:L], a[L : 2 * L], a[2 * L : 3 * L], a[3 * L : 4 * L])
+def _wdbl(f, P, b3):
+    """RCB complete doubling, a = 0 (2015/1060 alg 9); mirrors
+    WeierstrassOps.dbl exactly."""
+    X, Y, Z = P
+    t0 = f.mul(Y, Y)
+    t1 = f.mul(Y, Z)
+    t2 = f.mul(Z, Z)
+    xy = f.mul(X, Y)
+    z3_2 = f.add(t0, t0)
+    z3_4 = f.add(z3_2, z3_2)
+    z3 = f.add(z3_4, z3_4)  # 8·Y²
+    t2b = f.mul(b3, t2)
+    y3c = f.add(t0, t2b)
+    Z3 = f.mul(t1, z3)
+    x3m = f.mul(t2b, z3)
+    t2b3 = f.add(f.add(t2b, t2b), t2b)
+    t0m = f.sub(t0, t2b3)
+    y3p = f.mul(t0m, y3c)
+    x3p = f.mul(t0m, xy)
+    Y3 = f.add(x3m, y3p)
+    X3 = f.add(x3p, x3p)
+    return (X3, Y3, Z3)
+
+
+def _family(curve):
+    """(ncoords, add, dbl, curve constant ndarray, identity coord builder)."""
+    if getattr(curve, "COORDS", 3) == 4:
+        def ident(zero, one):
+            return (zero, one, one, zero)
+
+        return 4, _ewadd, _ewdbl, curve.k2d_np, ident
+
+    def ident(zero, one):
+        return (zero, one, zero)
+
+    return 3, _wadd, _wdbl, curve.b3_np, ident
+
+
+def _pack(P):
+    return jnp.concatenate(list(P), axis=0)  # (ncoords·L, BN)
+
+
+def _unpack(a, L, nc):
+    return tuple(a[i * L : (i + 1) * L] for i in range(nc))
 
 
 @functools.lru_cache(maxsize=None)
@@ -75,63 +149,76 @@ def _ladder_call(curve, nbits: int, interpret=False):
 
     spec = curve.fp.spec
     L = spec.num_limbs
-    C4 = 4 * L
+    NC, add, dbl, const_np, ident_fn = _family(curve)
+    CC = NC * L
+    # table-entry stride: Mosaic requires dynamically-indexed sublane offsets
+    # to be provably 8-aligned, so entries sit at a multiple-of-8 row stride
+    # (secp256k1's 3·22 = 66 rows would otherwise fail to compile)
+    CCP = -(-CC // 8) * 8
     nwin = -(-nbits // WINDOW)
     nent = 1 << WINDOW
 
-    def kernel(p_ref, np_ref, one_ref, k2d_ref, pts_ref, dig_ref, o_ref,
+    def kernel(p_ref, np_ref, one_ref, cst_ref, pts_ref, dig_ref, o_ref,
                tbl_ref):
         from jax.experimental import pallas as pl
 
         f = LimbMajorField(spec, p_ref[...], np_ref[...])
         one = one_ref[...]
-        k2d = k2d_ref[...]
+        cst = cst_ref[...]
         zero = jnp.zeros_like(one)
-        ident = (zero, one, one, zero)
-        P = _unpack(pts_ref[...], L)
+        ident = ident_fn(zero, one)
+        P = _unpack(pts_ref[...], L, NC)
 
-        # table[k] = k·P at rows [k*4L, (k+1)*4L). Built with a fori_loop —
-        # one add graph in the compiled kernel instead of 14 (Mosaic compile
-        # time scales with graph size; unrolled this kernel took ~8 min).
-        tbl_ref[0:C4, :] = _pack(ident, L)
-        tbl_ref[C4 : 2 * C4, :] = _pack(P, L)
+        def padded(P_t):
+            a = _pack(P_t)
+            if CCP == CC:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((CCP - CC, a.shape[1]), a.dtype)], axis=0
+            )
+
+        # table[k] = k·P at rows [k·CCP, k·CCP + CC). Built with a fori_loop
+        # — one add graph in the compiled kernel instead of 14 (Mosaic
+        # compile time scales with graph size; unrolled took ~8 min).
+        tbl_ref[0:CCP, :] = padded(ident)
+        tbl_ref[CCP : 2 * CCP, :] = padded(P)
 
         def tstep(k, prev):
-            nxt = _pack(_ewadd(f, _unpack(prev, L), P, k2d), L)
-            tbl_ref[pl.ds(k * C4, C4), :] = nxt
-            return nxt
+            nxt = add(f, _unpack(prev, L, NC), P, cst)
+            tbl_ref[pl.ds(k * CCP, CCP), :] = padded(nxt)
+            return _pack(nxt)
 
-        lax.fori_loop(2, nent, tstep, _pack(P, L))
+        lax.fori_loop(2, nent, tstep, _pack(P))
 
         def lookup(dig):
             # select tree over the 16 table entries: static ref slices +
             # lane-broadcast where at each level
             half = nent // 2
-            lo = tbl_ref[0 : half * C4, :]
-            hi = tbl_ref[half * C4 : nent * C4, :]
+            lo = tbl_ref[0 : half * CCP, :]
+            hi = tbl_ref[half * CCP : nent * CCP, :]
             sel = jnp.where(((dig >> (WINDOW - 1)) & 1) != 0, hi, lo)
             for level in range(WINDOW - 2, -1, -1):
                 half //= 2
                 bit = (dig >> level) & 1
-                sel = jnp.where(bit != 0, sel[half * C4 :, :],
-                                sel[: half * C4, :])
-            return _unpack(sel, L)
+                sel = jnp.where(bit != 0, sel[half * CCP :, :],
+                                sel[: half * CCP, :])
+            return _unpack(sel[:CC], L, NC)
 
         def body(w, acc_packed):
             # WINDOW doublings as an inner fori_loop: one dbl graph
             acc_packed = lax.fori_loop(
                 0, WINDOW,
-                lambda _, a: _pack(_ewdbl(f, _unpack(a, L)), L),
+                lambda _, a: _pack(dbl(f, _unpack(a, L, NC), cst)),
                 acc_packed,
             )
             dig = dig_ref[pl.ds(nwin - 1 - w, 1), :]  # MSB-first
-            acc = _ewadd(f, _unpack(acc_packed, L), lookup(dig), k2d)
-            return _pack(acc, L)
+            acc = add(f, _unpack(acc_packed, L, NC), lookup(dig), cst)
+            return _pack(acc)
 
-        o_ref[...] = lax.fori_loop(0, nwin, body, _pack(ident, L))
+        o_ref[...] = lax.fori_loop(0, nwin, body, _pack(ident))
 
     @jax.jit
-    def run(pts_t, digits_t):  # (4L, N), (nwin, N); N multiple of BLOCK
+    def run(pts_t, digits_t):  # (NC·L, N), (nwin, N); N multiple of BLOCK
         N = pts_t.shape[1]
         fp = curve.fp
 
@@ -141,17 +228,17 @@ def _ladder_call(curve, nbits: int, interpret=False):
             )
 
         consts = [bc(spec.p_limbs), bc(spec.nprime_limbs), bc(fp.one_np),
-                  bc(curve.k2d_np)]
+                  bc(const_np)]
         cspec = pl.BlockSpec((L, BLOCK), lambda i: (0, 0))
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((C4, N), pts_t.dtype),
+            out_shape=jax.ShapeDtypeStruct((CC, N), pts_t.dtype),
             grid=(N // BLOCK,),
             in_specs=[cspec, cspec, cspec, cspec,
-                      pl.BlockSpec((C4, BLOCK), lambda i: (0, i)),
+                      pl.BlockSpec((CC, BLOCK), lambda i: (0, i)),
                       pl.BlockSpec((nwin, BLOCK), lambda i: (0, i))],
-            out_specs=pl.BlockSpec((C4, BLOCK), lambda i: (0, i)),
-            scratch_shapes=[pltpu.VMEM((nent * C4, BLOCK), pts_t.dtype)],
+            out_specs=pl.BlockSpec((CC, BLOCK), lambda i: (0, i)),
+            scratch_shapes=[pltpu.VMEM((nent * CCP, BLOCK), pts_t.dtype)],
             interpret=interpret,
         )(*consts, pts_t, digits_t)
 
@@ -162,12 +249,13 @@ def ladder_scalar_mul(curve, scalars, points, nbits: int,
                       interpret: bool = False):
     """Batched windowed scalar-mul via the whole-ladder kernel.
 
-    scalars: plain-form (..., Ls); points: (..., 4, L). Leading axes are
+    scalars: plain-form (..., Ls); points: (..., NC, L). Leading axes are
     flattened, lanes padded to a BLOCK multiple (zero scalar · identity)."""
     fn, fp = curve.fn, curve.fp
     L = fp.L
+    NC = getattr(curve, "COORDS", 3)
     lead = points.shape[:-2]
-    pts = jnp.broadcast_to(points, (*lead, 4, L)).reshape(-1, 4, L)
+    pts = jnp.broadcast_to(points, (*lead, NC, L)).reshape(-1, NC, L)
     scal = jnp.broadcast_to(
         jnp.asarray(scalars), (*lead, fn.L)
     ).reshape(-1, fn.L)
@@ -180,14 +268,14 @@ def ladder_scalar_mul(curve, scalars, points, nbits: int,
     if Np != N:
         pts = jnp.concatenate(
             [pts, jnp.broadcast_to(jnp.asarray(curve.identity_np),
-                                   (Np - N, 4, L))], axis=0
+                                   (Np - N, NC, L))], axis=0
         )
         scal = jnp.concatenate(
             [scal, jnp.zeros((Np - N, fn.L), scal.dtype)], axis=0
         )
     nwin = -(-nbits // WINDOW)
     digits = fn.scalar_digits(scal, nwin * WINDOW, WINDOW)  # (Np, nwin)
-    pts_t = pts.transpose(1, 2, 0).reshape(4 * L, Np)
+    pts_t = pts.transpose(1, 2, 0).reshape(NC * L, Np)
     out_t = _ladder_call(curve, nbits, interpret)(pts_t, digits.T)
-    out = out_t.reshape(4, L, Np).transpose(2, 0, 1)  # (Np, 4, L)
-    return out[:N].reshape(*lead, 4, L)
+    out = out_t.reshape(NC, L, Np).transpose(2, 0, 1)  # (Np, NC, L)
+    return out[:N].reshape(*lead, NC, L)

@@ -59,11 +59,12 @@ def small_floor() -> int:
 
 
 def _ladder_ok(curve) -> bool:
-    """Whole-ladder Pallas MSM: edwards backends on TPU (12-bit limbs),
-    unless Pallas is disabled via BPP_PALLAS=0."""
+    """Whole-ladder Pallas MSM: all three backends on TPU (the kernel covers
+    extended-edwards and projective-weierstrass points; 12-bit limbs keep
+    partial products in int32), unless disabled via BPP_PALLAS=0."""
     import jax
 
-    return (getattr(curve, "COORDS", 0) == 4
+    return (getattr(curve, "COORDS", 0) in (3, 4)
             and curve.fp.W <= 15
             and jax.default_backend() == "tpu"
             and os.environ.get("BPP_PALLAS") != "0")

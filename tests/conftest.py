@@ -28,3 +28,19 @@ jax.config.update("jax_platforms", "cpu")
 from bulletproofsplus_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
 setup_compilation_cache()
+
+# XLA:CPU intermittently segfaults inside backend_compile_and_load (LLVM
+# codegen; rare, load-dependent — observed ~2 per 100 compile-heavy tests).
+# The crashed worker takes its current test down with it even though the
+# test is fine on retry. Reschedule tests from crashed workers up to twice
+# before letting the failure stand (mirrors pytest-rerunfailures, which is
+# not installed here).
+_crash_reruns: dict = {}
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    n = _crash_reruns.get(crashitem, 0)
+    if n < 2:
+        _crash_reruns[crashitem] = n + 1
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"

@@ -23,6 +23,26 @@ def test_mont_mul_matches_field_ops(name):
     assert ops.decode(got) == [x * y % p for x, y in zip(xs, ys)]
 
 
+@pytest.mark.parametrize("name", ["edwards25519", "secp256k1", "bls12_381"])
+def test_ladder_scalar_mul_matches_golden(name):
+    """Whole-ladder MSM kernel vs the golden oracle, all three point
+    families (extended edwards + projective weierstrass), interpret mode."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import ladder_scalar_mul
+
+    curve = curve_ops(name)
+    gc = golden_curve(name)
+    rng = random.Random(11)
+    nbits = 16  # 4 windows — keeps interpret-mode runtime small
+    ks = [rng.randrange(1 << nbits) for _ in range(4)] + [0, 1]
+    pts = [gc.mul(gc.base(), i + 2) for i in range(len(ks))]
+    s = jnp.asarray(curve.fn.encode_plain(ks))
+    P = jnp.asarray(curve.encode_points(pts))
+    got = ladder_scalar_mul(curve, s, P, nbits, interpret=True)
+    want = [gc.mul(p, k) for k, p in zip(ks, pts)]
+    assert curve.decode_points(got) == want
+
+
 def test_mont_mul_multi_block_and_broadcast():
     spec = ALL_SPECS["ed25519_fp"]
     ops = field_ops(spec)
