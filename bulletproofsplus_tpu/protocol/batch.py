@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 from ..errors import VerificationError
 from ..msm import msm
-from .range import RangeProof, VerificationInputs, verification_inputs
+from .range import (
+    RangeProof,
+    VerificationInputs,
+    verification_inputs,
+    verification_inputs_batch,
+)
 
 
 def batch_verify(
@@ -44,31 +49,54 @@ def batch_verify(
         return
     transcripts = transcripts or [None] * len(proofs)
     draw = rng or (lambda: secrets.randbits(128))
+    K = len(proofs)
 
-    inputs: List[VerificationInputs] = [
-        verification_inputs(curve, p, pk, n, V, t)
-        for p, V, t in zip(proofs, commitment_lists, transcripts)
-    ]
-
-    weights = [jnp.asarray(fn.encode(draw())) for _ in inputs]
-
-    G_exp = fn.mul(inputs[0].G_exp, weights[0])
-    H_exp = fn.mul(inputs[0].H_exp, weights[0])
-    g_exp = fn.mul(inputs[0].g_exp, weights[0])
-    h_exp = fn.mul(inputs[0].h_exp, weights[0])
-    uniq_s = [fn.mul(inputs[0].unique_scalars, weights[0])]
-    uniq_p = [inputs[0].unique_points]
-    for inp, w in zip(inputs[1:], weights[1:]):
-        G_exp = fn.add(G_exp, fn.mul(inp.G_exp, w))
-        H_exp = fn.add(H_exp, fn.mul(inp.H_exp, w))
-        g_exp = fn.add(g_exp, fn.mul(inp.g_exp, w))
-        h_exp = fn.add(h_exp, fn.mul(inp.h_exp, w))
-        uniq_s.append(fn.mul(inp.unique_scalars, w))
-        uniq_p.append(inp.unique_points)
+    homogeneous = (
+        all(len(V) == len(commitment_lists[0]) for V in commitment_lists[1:])
+        and len(commitment_lists[0]) > 1
+    )
+    if homogeneous:
+        # ONE vmapped program computes every proof's exponent vectors, and
+        # ONE weighted multiply + tree-reduce merges them (the per-proof
+        # loop is dispatch-latency-bound on a remote TPU backend)
+        inp = verification_inputs_batch(
+            curve, proofs, pk, n, commitment_lists, transcripts
+        )
+        W = jnp.asarray(fn.encode([draw() for _ in range(K)]))  # (K, L)
+        Wg = W[:, None, :]
+        G_exp = fn.sum(fn.mul(inp.G_exp, Wg), axis=0)
+        H_exp = fn.sum(fn.mul(inp.H_exp, Wg), axis=0)
+        g_exp = fn.sum(fn.mul(inp.g_exp, W), axis=0)
+        h_exp = fn.sum(fn.mul(inp.h_exp, W), axis=0)
+        uniq_s = fn.mul(inp.unique_scalars, Wg).reshape(
+            -1, inp.unique_scalars.shape[-1]
+        )
+        uniq_p = inp.unique_points.reshape(-1, *inp.unique_points.shape[-2:])
+    else:
+        inputs: List[VerificationInputs] = [
+            verification_inputs(curve, p, pk, n, V, t)
+            for p, V, t in zip(proofs, commitment_lists, transcripts)
+        ]
+        weights = [jnp.asarray(fn.encode(draw())) for _ in inputs]
+        G_exp = fn.mul(inputs[0].G_exp, weights[0])
+        H_exp = fn.mul(inputs[0].H_exp, weights[0])
+        g_exp = fn.mul(inputs[0].g_exp, weights[0])
+        h_exp = fn.mul(inputs[0].h_exp, weights[0])
+        uniq_s_l = [fn.mul(inputs[0].unique_scalars, weights[0])]
+        uniq_p_l = [inputs[0].unique_points]
+        for inp, w in zip(inputs[1:], weights[1:]):
+            G_exp = fn.add(G_exp, fn.mul(inp.G_exp, w))
+            H_exp = fn.add(H_exp, fn.mul(inp.H_exp, w))
+            g_exp = fn.add(g_exp, fn.mul(inp.g_exp, w))
+            h_exp = fn.add(h_exp, fn.mul(inp.h_exp, w))
+            uniq_s_l.append(fn.mul(inp.unique_scalars, w))
+            uniq_p_l.append(inp.unique_points)
+        uniq_s = jnp.concatenate(uniq_s_l, axis=0)
+        uniq_p = jnp.concatenate(uniq_p_l, axis=0)
 
     combined = VerificationInputs(
-        unique_scalars=jnp.concatenate(uniq_s, axis=0),
-        unique_points=jnp.concatenate(uniq_p, axis=0),
+        unique_scalars=uniq_s,
+        unique_points=uniq_p,
         G_exp=G_exp,
         H_exp=H_exp,
         g_exp=g_exp,

