@@ -96,10 +96,16 @@ def main():
     # NOTE: timings force a device->host fetch (np.asarray), because the
     # axon remote backend's block_until_ready returns before execution —
     # naive timings under-report by orders of magnitude.
-    t0 = time.time()
-    proof = prove(curve, pk, n, prover)
+    proof = prove(curve, pk, n, prover)  # warmup (persistent compile cache)
     np.asarray(proof.proof.r_prime)
-    prove_s = time.time() - t0
+    ptimes = []
+    for _ in range(REPS):
+        t0 = time.time()
+        proof = prove(curve, pk, n, prover)
+        np.asarray(proof.proof.r_prime)
+        np.asarray(proof.proof.L_vec)
+        ptimes.append(time.time() - t0)
+    prove_s = min(ptimes)
 
     # warmup (compiles cached across runs via persistent cache)
     verify(curve, proof, pk, n, prover.commitment_vec)

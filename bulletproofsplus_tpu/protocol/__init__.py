@@ -1,4 +1,5 @@
 from .batch import batch_verify
+from .batchprove import batch_prove
 from .publickey import PublicKey
 from .range import (
     RangeProof,
@@ -16,6 +17,7 @@ __all__ = [
     "RangeProver",
     "VerificationInputs",
     "WipProof",
+    "batch_prove",
     "batch_verify",
     "prove",
     "verification_inputs",

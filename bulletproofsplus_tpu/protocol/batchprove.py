@@ -1,0 +1,274 @@
+"""Batch proving: K range proofs over one pk in a handful of device programs.
+
+The reference proves one statement at a time (range/mod.rs:31-55); its prover
+is a sequential fold loop. On TPU the natural serving shape is a HOMOGENEOUS
+batch (same n, same m): every per-proof tensor gains a leading K axis and the
+three prover programs (bit commitment, setup, whole-fold scan — see range.py
+and wip._wip_prove_known_scan_prog) run once each under jax.vmap, so the
+prover's device-dispatch count is independent of K.
+
+Two transcript regimes:
+- known-ahead challenges (DeterministicTranscript replay): THREE dispatches
+  total for the whole batch;
+- interactive Fiat-Shamir (ShaTranscript): the K transcripts hash in
+  lockstep — one vmapped L/R program per round, ONE device→host fetch of all
+  K proofs' (L, R), K host hashes, one vmapped fold program — i.e.
+  2·log2(mn) dispatches for the whole batch instead of per proof.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..transcript import DeterministicRng, DeterministicTranscript
+from .range import (
+    RangeProof,
+    _bit_commitment_prog,
+    _bit_decompose,
+    _prove_setup_multiple_prog,
+    _prove_setup_single_prog,
+    _validate,
+)
+from .wip import (
+    WipProof,
+    _final_ab_core,
+    _final_scalars_core,
+    _round_fold_core,
+    _round_lr_core,
+    _fold_pad,
+    _wip_prove_known_scan_vmap_jit,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_commitment_vmap_jit(curve, mn: int):
+    return jax.jit(jax.vmap(
+        _bit_commitment_prog(curve), in_axes=(0, 0, None, None, None)
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _setup_multiple_vmap_jit(curve, n: int, m: int):
+    return jax.jit(jax.vmap(
+        _prove_setup_multiple_prog(curve, n, m),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _setup_single_vmap_jit(curve, n: int):
+    return jax.jit(jax.vmap(
+        _prove_setup_single_prog(curve, n),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_lr_vmap_jit(curve, n: int):
+    return jax.jit(jax.vmap(
+        functools.partial(_round_lr_core, curve),
+        in_axes=(0, 0, 0, 0, 0, None, None, 0, 0),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_vmap_jit(curve, n: int, fold_pad: int):
+    return jax.jit(jax.vmap(
+        functools.partial(_round_fold_core, curve, fold_pad),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _final_ab_vmap_jit(curve):
+    return jax.jit(jax.vmap(
+        functools.partial(_final_ab_core, curve),
+        in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _final_scalars_vmap_jit(curve):
+    return jax.jit(jax.vmap(
+        functools.partial(_final_scalars_core, curve),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0),
+    ))
+
+
+def batch_prove(
+    curve,
+    pk,
+    n: int,
+    provers: Sequence,
+    transcripts: Optional[Sequence] = None,
+    rngs: Optional[Sequence] = None,
+) -> List[RangeProof]:
+    """Prove K range statements (each a RangeProver over the shared pk) in
+    one vmapped pipeline. Requires a homogeneous batch (same m for every
+    prover); heterogeneous batches fall back to sequential prove().
+
+    Returns one RangeProof per prover, identical to what prove() produces
+    for the same (transcript, rng)."""
+    from .range import prove as _prove_one
+
+    fn = curve.fn
+    K = len(provers)
+    if K == 0:
+        return []
+    m = len(provers[0].v_vec)
+    if any(len(p.v_vec) != m for p in provers):
+        return [
+            _prove_one(curve, pk, n, p,
+                       transcript=(transcripts[i] if transcripts else None),
+                       rng=(rngs[i] if rngs else None))
+            for i, p in enumerate(provers)
+        ]
+    _validate(pk, n, m)
+    transcripts = (list(transcripts) if transcripts
+                   else [DeterministicTranscript(m) for _ in range(K)])
+    rngs = list(rngs) if rngs else [DeterministicRng(m) for _ in range(K)]
+
+    mn = n * m
+    logn = mn.bit_length() - 1
+
+    alphas = [r.alpha() for r in rngs]
+    bits_np = np.stack([_bit_decompose(p.v_vec, n, m) for p in provers])
+    A_all = _bit_commitment_vmap_jit(curve, mn)(
+        jnp.asarray(fn.encode_plain(alphas)),
+        jnp.asarray(bits_np),
+        pk.G_vec, pk.H_vec, pk.h,
+    )  # (K, C, L)
+
+    yz = [
+        t.challenge_yz(curve, list(p.commitment_vec), A_all[i])
+        for i, (t, p) in enumerate(zip(transcripts, provers))
+    ]
+    ys = [y % fn.p for y, _ in yz]
+    zs = [z % fn.p for _, z in yz]
+
+    V_all = jnp.stack(
+        [jnp.stack(list(p.commitment_vec)) for p in provers]
+    )  # (K, m, C, L)
+
+    if m == 1:
+        setup = _setup_single_vmap_jit(curve, n)
+        gamma_arg = jnp.asarray(fn.encode([p.gamma_vec[0] for p in provers]))
+        V_arg = V_all[:, 0]
+    else:
+        setup = _setup_multiple_vmap_jit(curve, n, m)
+        gamma_arg = jnp.asarray(
+            fn.encode([g for p in provers for g in p.gamma_vec])
+        ).reshape(K, m, fn.L)
+        V_arg = V_all
+
+    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+        jnp.asarray(fn.encode(ys)),
+        jnp.asarray(fn.encode(zs)),
+        jnp.asarray(bits_np).reshape(K, mn),
+        gamma_arg,
+        jnp.asarray(fn.encode(alphas)),
+        A_all, V_arg, pk.G_vec, pk.H_vec, pk.g,
+    )
+
+    known = all(
+        getattr(t, "challenges_known_ahead", False) for t in transcripts
+    ) and all(getattr(r, "blinds_known_ahead", False) for r in rngs)
+
+    if known and logn > 0:
+        dLs = np.empty((K, logn), dtype=object)
+        dRs = np.empty((K, logn), dtype=object)
+        es = np.empty((K, logn), dtype=object)
+        finals, efs = [], []
+        for i, (t, r) in enumerate(zip(transcripts, rngs)):
+            for j in range(logn):
+                dLs[i, j], dRs[i, j] = r.round_blinds()
+                es[i, j] = t.round_challenge(curve, None, None) % fn.p
+            finals.append(r.final_blinds())
+            efs.append(t.final_challenge(curve, None, None) % fn.p)
+        rsde = np.array(finals, dtype=object)  # (K, 4)
+
+        enc2 = lambda arr: jnp.asarray(  # noqa: E731
+            fn.encode([int(x) for x in arr.reshape(-1)])
+        ).reshape(*arr.shape, fn.L)
+        L_vec, R_vec, A, B, r_p, s_p, d_p = _wip_prove_known_scan_vmap_jit(
+            curve, mn
+        )(
+            a_vec, b_vec, power_of_y, alpha_hat,
+            pk.G_vec, pk.H_vec, pk.g, pk.h,
+            enc2(es), enc2(dLs), enc2(dRs),
+            enc2(rsde[:, 0]), enc2(rsde[:, 1]),
+            enc2(rsde[:, 2]), enc2(rsde[:, 3]),
+            jnp.asarray(fn.encode(efs)),
+        )
+        return [
+            RangeProof(A=A_all[i], proof=WipProof(
+                L_vec=L_vec[i], R_vec=R_vec[i], A=A[i], B=B[i],
+                r_prime=r_p[i], s_prime=s_p[i], d_prime=d_p[i],
+            ))
+            for i in range(K)
+        ]
+
+    # interactive path: K transcripts advance in lockstep, one vmapped
+    # L/R + fold program pair per round
+    fold_pad = _fold_pad(mn)
+    a, b, y_pow = a_vec, b_vec, power_of_y
+    G = jnp.broadcast_to(pk.G_vec, (K, *pk.G_vec.shape))
+    H = jnp.broadcast_to(pk.H_vec, (K, *pk.H_vec.shape))
+    alpha = alpha_hat
+    L_cols, R_cols = [], []
+    size = mn
+    while size != 1:
+        blinds = [r.round_blinds() for r in rngs]
+        dL_m = jnp.asarray(fn.encode([b_[0] for b_ in blinds]))
+        dR_m = jnp.asarray(fn.encode([b_[1] for b_ in blinds]))
+        L, R, y_nhat, y_nhat_inv = _round_lr_vmap_jit(curve, size)(
+            a, b, y_pow, G, H, pk.g, pk.h, dL_m, dR_m
+        )
+        L_cols.append(L)
+        R_cols.append(R)
+        L_np, R_np = np.asarray(L), np.asarray(R)  # ONE fetch for all K
+        es_r = [
+            t.round_challenge(curve, L_np[i], R_np[i]) % fn.p
+            for i, t in enumerate(transcripts)
+        ]
+        a, b, y_pow, G, H, alpha = _round_fold_vmap_jit(
+            curve, size, fold_pad
+        )(
+            a, b, y_pow, G, H, alpha, dL_m, dR_m,
+            jnp.asarray(fn.encode(es_r)), y_nhat, y_nhat_inv,
+        )
+        size //= 2
+
+    finals = [r.final_blinds() for r in rngs]
+    r_m = jnp.asarray(fn.encode([f[0] for f in finals]))
+    s_m = jnp.asarray(fn.encode([f[1] for f in finals]))
+    delta_m = jnp.asarray(fn.encode([f[2] for f in finals]))
+    eta_m = jnp.asarray(fn.encode([f[3] for f in finals]))
+    A, B = _final_ab_vmap_jit(curve)(
+        a, b, y_pow[:, 0], G[:, 0], H[:, 0], pk.g, pk.h,
+        r_m, s_m, delta_m, eta_m,
+    )
+    A_np, B_np = np.asarray(A), np.asarray(B)
+    efs = [
+        t.final_challenge(curve, A_np[i], B_np[i]) % fn.p
+        for i, t in enumerate(transcripts)
+    ]
+    r_p, s_p, d_p = _final_scalars_vmap_jit(curve)(
+        a, b, alpha, r_m, s_m, delta_m, eta_m,
+        jnp.asarray(fn.encode(efs)),
+    )
+    L_vec = jnp.stack(L_cols, axis=1) if L_cols else jnp.zeros(
+        (K, 0, *A.shape[-2:]), jnp.int32)
+    R_vec = jnp.stack(R_cols, axis=1) if R_cols else jnp.zeros(
+        (K, 0, *A.shape[-2:]), jnp.int32)
+    return [
+        RangeProof(A=A_all[i], proof=WipProof(
+            L_vec=L_vec[i], R_vec=R_vec[i], A=A[i], B=B[i],
+            r_prime=r_p[i], s_prime=s_p[i], d_prime=d_p[i],
+        ))
+        for i in range(K)
+    ]

@@ -162,22 +162,96 @@ def verify(
 # single (m = 1): range/mod.rs:80-238
 # ---------------------------------------------------------------------------
 
+def _bit_commitment_prog(curve):
+    def f(alpha_plain, bits, G_vec, H_vec, h):
+        # width-1 msm reuses the shared small-MSM program (no 1-wide compile)
+        h_alpha = msm(curve, alpha_plain[None], h[None])
+        chosen = curve.select(bits, G_vec, curve.neg(H_vec))
+        return tree_sum(
+            curve, jnp.concatenate([h_alpha[None], chosen], axis=0)
+        )
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_commitment_jit(curve, mn: int):
+    import jax
+
+    return jax.jit(_bit_commitment_prog(curve))
+
+
 def _bit_commitment(curve, pk, alpha_int, v_bits, mn):
-    """A = h·α + Σ (bitᵢ ? Gᵢ : −Hᵢ)  (range/mod.rs:96-106, :259-277)."""
+    """A = h·α + Σ (bitᵢ ? Gᵢ : −Hᵢ)  (range/mod.rs:96-106, :259-277).
+
+    On TPU: one compiled program per (curve, mn) — remote dispatch latency
+    dominates every sub-millisecond op. On CPU: eager (shared programs)."""
+    from .wip import _fuse_ok
+
     fn = curve.fn
-    # width-1 msm reuses the shared small-MSM program (no 1-wide compile)
-    h_alpha = msm(
-        curve, jnp.asarray(fn.encode_plain(alpha_int))[None], pk.h[None]
+    args = (
+        jnp.asarray(fn.encode_plain(alpha_int)),
+        jnp.asarray(v_bits),
+        pk.G_vec, pk.H_vec, pk.h,
     )
-    chosen = curve.select(
-        jnp.asarray(v_bits), pk.G_vec, curve.neg(pk.H_vec)
-    )
-    return tree_sum(
-        curve, jnp.concatenate([h_alpha[None], chosen], axis=0)
-    )
+    if _fuse_ok():
+        return _bit_commitment_jit(curve, mn)(*args)
+    return _bit_commitment_prog(curve)(*args)
+
+
+def _prove_setup_single_prog(curve, n: int):
+    """Everything between (y, z) and the WIP call (range/mod.rs:112-184):
+    Â, a_vec, b_vec, y-powers, α̂ — one compiled program on TPU."""
+    fn = curve.fn
+
+    def f(y_m, z_m, bits, gamma_m, alpha_m, A, V, G_vec, H_vec, g):
+        power_of_two = jnp.asarray(
+            fn.encode([pow(2, i, fn.p) for i in range(n)])
+        )
+        power_of_y = fn.powers_type2(y_m, n)
+        power_of_y_rev = power_of_y[::-1]
+
+        minus_z = fn.neg(z_m)
+        H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)  # (n, L)
+        V_exp = fn.powers_type2(y_m, n + 1)[n]  # y^{n+1}
+        z_sqr = fn.mul(z_m, z_m)
+        g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
+        two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
+        g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
+
+        # Â = A + Σ (−z)·Gᵢ + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V
+        # (range/mod.rs:126-151; the reference's −z·ΣG single term is spread
+        # over G_vec so Â is one canonical-width MSM, no separate ΣG sum)
+        one_m = jnp.asarray(fn.one_np)
+        scalars = jnp.concatenate(
+            [one_m[None], jnp.broadcast_to(minus_z, (n, fn.L)), H_exp,
+             g_exp[None], V_exp[None]], axis=0
+        )
+        points = jnp.concatenate(
+            [A[None], G_vec, H_vec, g[None], V[None]], axis=0
+        )
+        A_hat = msm(curve, fn.from_mont(scalars), points)
+
+        one_minus_z = fn.sub(one_m, z_m)
+        a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (n, fn.L)),
+                          jnp.broadcast_to(minus_z, (n, fn.L)))
+        b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
+        alpha_hat = fn.add(alpha_m, fn.mul(gamma_m, V_exp))
+        return A_hat, a_vec, b_vec, power_of_y, alpha_hat
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _prove_setup_single_jit(curve, n: int):
+    import jax
+
+    return jax.jit(_prove_setup_single_prog(curve, n))
 
 
 def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
+    from .wip import _fuse_ok
+
     fn = curve.fn
     assert pk.length == n, "generator count must equal n"
 
@@ -186,42 +260,17 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
     A = _bit_commitment(curve, pk, alpha, v_bits, n)
 
     y, z = transcript.challenge_yz(curve, [commitment], A)
-    y_m = jnp.asarray(fn.encode(y))
-    z_m = jnp.asarray(fn.encode(z))
 
-    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
-    power_of_y = fn.powers_type2(y_m, n)
-    power_of_y_rev = power_of_y[::-1]
-
-    minus_z = fn.neg(z_m)
-    H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)  # (n, L)
-    V_exp = fn.powers_type2(y_m, n + 1)[n]  # y^{n+1}
-    z_sqr = fn.mul(z_m, z_m)
-    g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
-    two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
-    g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
-
-    # Â = A + Σ (−z)·Gᵢ + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V
-    # (range/mod.rs:126-151; the reference's −z·ΣG single term is spread over
-    # G_vec so Â is one canonical-width MSM with no separate ΣG tree-sum)
-    one_m = jnp.asarray(fn.one_np)
-    scalars = jnp.concatenate(
-        [one_m[None], jnp.broadcast_to(minus_z, (n, fn.L)), H_exp,
-         g_exp[None], V_exp[None]], axis=0
+    setup = (_prove_setup_single_jit(curve, n) if _fuse_ok()
+             else _prove_setup_single_prog(curve, n))
+    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+        jnp.asarray(fn.encode(y)),
+        jnp.asarray(fn.encode(z)),
+        jnp.asarray(v_bits),
+        jnp.asarray(fn.encode(gamma)),
+        jnp.asarray(fn.encode(alpha)),
+        A, commitment, pk.G_vec, pk.H_vec, pk.g,
     )
-    points = jnp.concatenate(
-        [A[None], pk.G_vec, pk.H_vec, pk.g[None], commitment[None]],
-        axis=0,
-    )
-    A_hat = msm(curve, fn.from_mont(scalars), points)
-
-    bits = jnp.asarray(v_bits)
-    one_minus_z = fn.sub(one_m, z_m)
-    a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (n, fn.L)),
-                      jnp.broadcast_to(minus_z, (n, fn.L)))
-    b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
-    gamma_m = jnp.asarray(fn.encode(gamma))
-    alpha_hat = fn.add(jnp.asarray(fn.encode(alpha)), fn.mul(gamma_m, V_exp))
 
     wip = wip_prove(
         curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
@@ -457,55 +506,84 @@ def _prove_multiple(curve, pk, n, m, v, gamma_vec, commitment_vec,
 
     V = jnp.stack(list(commitment_vec))
     y, z = transcript.challenge_yz(curve, list(commitment_vec), A)
-    y_m = jnp.asarray(fn.encode(y))
-    z_m = jnp.asarray(fn.encode(z))
 
-    power_of_two = jnp.asarray(fn.encode([pow(2, i, fn.p) for i in range(n)]))
-    power_of_y = fn.powers_type2(y_m, mn)
-    power_of_y_rev = power_of_y[::-1]
-    z_sqr = fn.mul(z_m, z_m)
-    power_of_z = fn.powers_type2(z_sqr, m)  # z², z⁴, ...
-    # d[j·n + i] = 2^i · z^{2(j+1)}   (range/mod.rs:288-291)
-    idx_two = np.arange(mn) % n
-    idx_z = np.arange(mn) // n
-    d = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
+    from .wip import _fuse_ok
 
-    minus_z = fn.neg(z_m)
-    H_exp = fn.add(fn.mul(d, power_of_y_rev), z_m)
-    y_mn1 = fn.powers_type2(y_m, mn + 1)[mn]  # y^{mn+1}
-    V_exp = fn.mul(power_of_z, y_mn1)  # (m, L)
-
-    g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
-    d_sum = fn.sum(d)
-    g_exp = fn.sub(g_exp, fn.mul(fn.mul(d_sum, y_mn1), z_m))
-
-    # −z·ΣG spread over G_vec: Â is one canonical-width MSM (see single path)
-    one_m = jnp.asarray(fn.one_np)
-    scalars = jnp.concatenate(
-        [one_m[None], jnp.broadcast_to(minus_z, (mn, fn.L)), H_exp,
-         g_exp[None], V_exp], axis=0
-    )
-    points = jnp.concatenate(
-        [A[None], pk.G_vec, pk.H_vec, pk.g[None], V], axis=0
-    )
-    A_hat = msm(curve, fn.from_mont(scalars), points)
-
-    bits = jnp.asarray(v_bits)
-    one_minus_z = fn.sub(one_m, z_m)
-    a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (mn, fn.L)),
-                      jnp.broadcast_to(minus_z, (mn, fn.L)))
-    b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
-
-    gamma_m = jnp.asarray(fn.encode(list(gamma_vec)))  # (m, L)
-    pz_gamma_sum = fn.sum(fn.mul(power_of_z, gamma_m))
-    alpha_hat = fn.add(
-        jnp.asarray(fn.encode(alpha)), fn.mul(pz_gamma_sum, y_mn1)
+    setup = (_prove_setup_multiple_jit(curve, n, m) if _fuse_ok()
+             else _prove_setup_multiple_prog(curve, n, m))
+    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+        jnp.asarray(fn.encode(y)),
+        jnp.asarray(fn.encode(z)),
+        jnp.asarray(v_bits),
+        jnp.asarray(fn.encode(list(gamma_vec))),
+        jnp.asarray(fn.encode(alpha)),
+        A, V, pk.G_vec, pk.H_vec, pk.g,
     )
 
     wip = wip_prove(
         curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
     )
     return RangeProof(A=A, proof=wip)
+
+
+def _prove_setup_multiple_prog(curve, n: int, m: int):
+    """Everything between (y, z) and the WIP call (range/mod.rs:283-376):
+    Â, a_vec, b_vec, y-powers, α̂. Eagerly these are ~40 dispatches; on a
+    remote TPU backend dispatch latency dominates, so TPU runs the jitted
+    wrapper below as ONE compiled program."""
+    fn = curve.fn
+    mn = n * m
+
+    def f(y_m, z_m, bits, gamma_m, alpha_m, A, V, G_vec, H_vec, g):
+        power_of_two = jnp.asarray(
+            fn.encode([pow(2, i, fn.p) for i in range(n)])
+        )
+        power_of_y = fn.powers_type2(y_m, mn)
+        power_of_y_rev = power_of_y[::-1]
+        z_sqr = fn.mul(z_m, z_m)
+        power_of_z = fn.powers_type2(z_sqr, m)  # z², z⁴, ...
+        # d[j·n + i] = 2^i · z^{2(j+1)}   (range/mod.rs:288-291)
+        idx_two = np.arange(mn) % n
+        idx_z = np.arange(mn) // n
+        d = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
+
+        minus_z = fn.neg(z_m)
+        H_exp = fn.add(fn.mul(d, power_of_y_rev), z_m)
+        y_mn1 = fn.powers_type2(y_m, mn + 1)[mn]  # y^{mn+1}
+        V_exp = fn.mul(power_of_z, y_mn1)  # (m, L)
+
+        g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
+        d_sum = fn.sum(d)
+        g_exp = fn.sub(g_exp, fn.mul(fn.mul(d_sum, y_mn1), z_m))
+
+        # −z·ΣG spread over G_vec: Â is one canonical-width MSM (see single)
+        one_m = jnp.asarray(fn.one_np)
+        scalars = jnp.concatenate(
+            [one_m[None], jnp.broadcast_to(minus_z, (mn, fn.L)), H_exp,
+             g_exp[None], V_exp], axis=0
+        )
+        points = jnp.concatenate(
+            [A[None], G_vec, H_vec, g[None], V], axis=0
+        )
+        A_hat = msm(curve, fn.from_mont(scalars), points)
+
+        one_minus_z = fn.sub(one_m, z_m)
+        a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (mn, fn.L)),
+                          jnp.broadcast_to(minus_z, (mn, fn.L)))
+        b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
+
+        pz_gamma_sum = fn.sum(fn.mul(power_of_z, gamma_m))
+        alpha_hat = fn.add(alpha_m, fn.mul(pz_gamma_sum, y_mn1))
+        return A_hat, a_vec, b_vec, power_of_y, alpha_hat
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _prove_setup_multiple_jit(curve, n: int, m: int):
+    import jax
+
+    return jax.jit(_prove_setup_multiple_prog(curve, n, m))
 
 
 def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):

@@ -14,8 +14,10 @@ MSM by the caller (:238-328). Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,120 +60,409 @@ def _pad_points(curve, points, width: int):
     return jnp.concatenate([points, pad], axis=-3)
 
 
+def _round_lr_core(curve, a, b, power_of_y, G, H, g, h, d_L_m, d_R_m):
+    """One round's L, R commitments (wip:90-125). Array inputs are the
+    CURRENT (pre-halving) length-2n state; returns (L, R, y_nhat,
+    y_nhat_inv) so the fold step does not redo the Fermat inversion."""
+    fn = curve.fn
+    n = a.shape[0] // 2
+    a1, a2 = a[:n], a[n:]
+    b1, b2 = b[:n], b[n:]
+    y1, y2 = power_of_y[:n], power_of_y[n:]
+    G1, G2 = G[:n], G[n:]
+    H1, H2 = H[:n], H[n:]
+
+    c_L = _wip(fn, a1, b2, y1)
+    c_R = _wip(fn, a2, b1, y2)
+    y_nhat = y1[n - 1]
+    y_nhat_inv = fn.inv(y_nhat)
+
+    # L = Σ (ŷ⁻¹a1)ᵢ·G2ᵢ + Σ b2ᵢ·H1ᵢ + c_L·g + d_L·h   (wip:98-113)
+    # R = Σ (ŷ·a2)ᵢ·G1ᵢ + Σ b1ᵢ·H2ᵢ + c_R·g + d_R·h   (wip:115-125)
+    LR_scalars = jnp.stack([
+        jnp.concatenate(
+            [fn.mul(a1, y_nhat_inv), b2, c_L[None], d_L_m[None]], axis=0
+        ),
+        jnp.concatenate(
+            [fn.mul(a2, y_nhat), b1, c_R[None], d_R_m[None]], axis=0
+        ),
+    ])
+    LR_points = jnp.stack([
+        jnp.concatenate([G2, H1, g[None], h[None]], axis=0),
+        jnp.concatenate([G1, H2, g[None], h[None]], axis=0),
+    ])
+    LR = msm(curve, fn.from_mont(LR_scalars), LR_points)
+    return LR[0], LR[1], y_nhat, y_nhat_inv
+
+
+def _round_fold_core(curve, fold_pad, a, b, power_of_y, G, H, alpha,
+                     d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv):
+    """One round's state fold (wip:147-171) given the challenge e.
+
+    The reference's running P += e²L + e⁻²R (wip:137-142) is dropped: P is
+    never read again by the prover (the proof output is L/R/A/B/r'/s'/δ'
+    only), so it is dead work."""
+    fn = curve.fn
+    n = a.shape[0] // 2
+    a1, a2 = a[:n], a[n:]
+    b1, b2 = b[:n], b[n:]
+    G1, G2 = G[:n], G[n:]
+    H1, H2 = H[:n], H[n:]
+
+    e_inv = fn.inv(e_m)
+    e_sqr = fn.mul(e_m, e_m)
+    e_sqr_inv = fn.mul(e_inv, e_inv)
+
+    a_next = fn.add(fn.mul(a1, e_m), fn.mul(a2, fn.mul(y_nhat, e_inv)))
+    b_next = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
+    fold_scalars = fn.from_mont(
+        jnp.stack([e_inv, fn.mul(y_nhat_inv, e_m), e_m, e_inv])
+    )[:, None, :]
+    fold_points = jnp.stack([G1, G2, H1, H2])  # (4, n, C, L)
+    fold_points = _pad_points(curve, fold_points, fold_pad)
+    fg = scalar_mul(curve, fold_scalars, fold_points)
+    G_next = curve.add(fg[0], fg[1])[:n]
+    H_next = curve.add(fg[2], fg[3])[:n]
+    alpha_next = fn.add(
+        alpha, fn.add(fn.mul(e_sqr, d_L_m), fn.mul(e_sqr_inv, d_R_m))
+    )
+    return a_next, b_next, power_of_y[:n], G_next, H_next, alpha_next
+
+
+def _final_ab_core(curve, a, b, y0, G0, H0, g, h, r_m, s_m, delta_m, eta_m):
+    """Final commitments A, B (wip:181-208) after the fold reaches n=1."""
+    fn = curve.fn
+    # A = r·G0 + s·H0 + (r·y·b0 + s·y·a0)·g + δ·h ; B = (r·y·s)·g + η·h
+    rcbsca = fn.add(
+        fn.mul(fn.mul(r_m, y0), b[0]), fn.mul(fn.mul(s_m, y0), a[0])
+    )
+    rcs = fn.mul(fn.mul(r_m, y0), s_m)
+    AB_scalars = jnp.stack([
+        jnp.stack([r_m, s_m, rcbsca, delta_m]),
+        jnp.stack([rcs, eta_m, fn.zero_like(r_m), fn.zero_like(r_m)]),
+    ])
+    ident = curve.identity_like(())
+    AB_points = jnp.stack([
+        jnp.stack([G0, H0, g, h]),
+        jnp.stack([g, h, ident, ident]),
+    ])
+    AB = msm(curve, fn.from_mont(AB_scalars), AB_points)
+    return AB[0], AB[1]
+
+
+def _final_scalars_core(curve, a, b, alpha, r_m, s_m, delta_m, eta_m, e_m):
+    """Final response scalars r', s', δ' (wip:211-216)."""
+    fn = curve.fn
+    r_prime = fn.add(r_m, fn.mul(a[0], e_m))
+    s_prime = fn.add(s_m, fn.mul(b[0], e_m))
+    d_prime = fn.add(
+        eta_m, fn.add(fn.mul(delta_m, e_m), fn.mul(alpha, fn.mul(e_m, e_m)))
+    )
+    return r_prime, s_prime, d_prime
+
+
+def _fold_pad(n: int) -> int:
+    from ..msm.engine import small_floor
+
+    return max(small_floor(), n // 2)  # one fold program per proof size
+
+
+def _fuse_ok() -> bool:
+    """Whether to fuse prover phases into per-proof-size compiled programs.
+
+    On TPU (remote dispatch ~100-500 ms per op) fusion is a ~100x win; on
+    XLA:CPU (tests, virtual meshes) each fused program is a fresh multi-
+    second compile per proof size while eager per-op programs are shared
+    across all sizes — so fusion is TPU-only unless forced for testing."""
+    import os
+
+    v = os.environ.get("BPP_FUSE_PROVER")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _round_lr_jit(curve, n: int):
+    return jax.jit(functools.partial(_round_lr_core, curve))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_jit(curve, n: int, fold_pad: int):
+    return jax.jit(functools.partial(_round_fold_core, curve, fold_pad))
+
+
+@functools.lru_cache(maxsize=None)
+def _final_ab_jit(curve):
+    return jax.jit(functools.partial(_final_ab_core, curve))
+
+
+@functools.lru_cache(maxsize=None)
+def _final_scalars_jit(curve):
+    return jax.jit(functools.partial(_final_scalars_core, curve))
+
+
+def _wip_prove_known_scan_prog(curve, n: int):
+    """The WHOLE fold loop + final commitments/responses as ONE compiled
+    program, for transcripts whose challenges are known before the prover's
+    messages (deterministic/replay mode).
+
+    TPU-native structure: instead of unrolling log2(n) rounds of shrinking
+    shapes (a compile bomb — every round's MSM ladder re-inlines), the loop
+    is a lax.scan over a CONSTANT-SHAPE round body. State arrays stay at
+    their full length; the active prefix halves each round and is tracked
+    with per-round masks and clamped gather indices (precomputed numpy
+    constants fed through the scan). Inactive MSM lanes carry zero scalars,
+    so their (garbage) points contribute the identity. All modular
+    inversions (challenge e's, y-hat powers) happen OUTSIDE the scan via one
+    batched Fermat inversion, so the round body is inversion-free.
+
+    Cost vs the halving loop: each round runs full-width lanes, ~log2(n)/2 x
+    more lane-work total — pure vector throughput, bought back many times
+    over by 1 dispatch instead of ~30xlog2(n) and one small compiled body."""
+    from ..msm.engine import _scalar_mul_jit, _tree_sum_jit, _next_pow2
+
+    fn = curve.fn
+    logn = n.bit_length() - 1
+    half = n // 2
+    nbits = fn.order_bits
+    W = n + 2                     # a-part + b-part + c·g + d·h lanes
+    WP = _next_pow2(W)            # tree_sum needs a power of two
+
+    hs = [n >> (r + 1) for r in range(logn)]          # active half-length
+    idx_hi_np = np.stack(
+        [np.minimum(np.arange(half) + h, n - 1) for h in hs]
+    ).astype(np.int32)                                 # (logn, half)
+    mask_np = np.stack([np.arange(half) < h for h in hs])  # (logn, half)
+
+    def f(a, b, power_of_y, alpha, G, H, g, h,
+          es_m, dLs_m, dRs_m, r_m, s_m, delta_m, eta_m, ef_m):
+        sm = _scalar_mul_jit(curve, nbits)
+        ts = _tree_sum_jit(curve)
+        ident = jnp.asarray(curve.identity_np)
+
+        # per-round challenge derivatives, batch-inverted outside the scan
+        _, es_inv = fn.batch_invert(es_m)
+        es_sqr = fn.mul(es_m, es_m)
+        es_inv_sqr = fn.mul(es_inv, es_inv)
+        # ŷ_r = y^{h_r} = power_of_y[h_r - 1] (powers_type2 is y, y², ...)
+        ynhats = power_of_y[np.array([h - 1 for h in hs])]    # (logn, L)
+        _, ynhat_invs = fn.batch_invert(ynhats)
+
+        y1 = power_of_y[:half]  # invariant: the active y-prefix never moves
+
+        def body(carry, xs):
+            a, b, G, H, alpha = carry
+            (e_m, e_inv, e_sqr, e_sqr_inv, dL, dR, ynhat, ynhat_inv,
+             ihi, msk) = xs
+            zerov = jnp.zeros((half, fn.L), jnp.int32)
+
+            a1, b1 = a[:half], b[:half]
+            G1, H1 = G[:half], H[:half]
+            a2, b2 = a[ihi], b[ihi]        # gathers: (half, L)
+            G2, H2 = G[ihi], H[ihi]        # (half, C, L)
+
+            # c_L = Σ a1·b2·y1 ; c_R = Σ a2·b1·y2, y2 = y1·ŷ  (wip:90-91)
+            c_L = fn.sum(fn.select(msk, fn.mul(fn.mul(a1, b2), y1), zerov))
+            c_R = fn.sum(fn.select(
+                msk, fn.mul(fn.mul(a2, b1), fn.mul(y1, ynhat)), zerov))
+
+            # L = Σ (ŷ⁻¹a1)·G2 + Σ b2·H1 + c_L·g + d_L·h   (wip:98-113)
+            # R = Σ (ŷ a2)·G1 + Σ b1·H2 + c_R·g + d_R·h    (wip:115-125)
+            sL = jnp.concatenate([
+                fn.select(msk, fn.mul(a1, ynhat_inv), zerov),
+                fn.select(msk, b2, zerov), c_L[None], dL[None],
+            ])
+            sR = jnp.concatenate([
+                fn.select(msk, fn.mul(a2, ynhat), zerov),
+                fn.select(msk, b1, zerov), c_R[None], dR[None],
+            ])
+            pL = jnp.concatenate([G2, H1, g[None], h[None]])
+            pR = jnp.concatenate([G1, H2, g[None], h[None]])
+            S = jnp.stack([sL, sR])                       # (2, W, L)
+            P = jnp.stack([pL, pR])                       # (2, W, C, L)
+            if WP != W:
+                S = jnp.concatenate(
+                    [S, jnp.zeros((2, WP - W, fn.L), jnp.int32)], axis=1)
+                P = jnp.concatenate(
+                    [P, jnp.broadcast_to(ident, (2, WP - W, *ident.shape))],
+                    axis=1)
+            LR = ts(sm(fn.from_mont(S), P))               # (2, C, L)
+
+            # fold a, b, G, H (wip:147-164); results live in lanes [0, h_r)
+            a_new = fn.add(fn.mul(a1, e_m), fn.mul(a2, fn.mul(ynhat, e_inv)))
+            b_new = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
+            a_new = fn.select(msk, a_new, zerov)
+            b_new = fn.select(msk, b_new, zerov)
+            fs = jnp.broadcast_to(
+                fn.from_mont(jnp.stack(
+                    [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv]
+                ))[:, None, :],
+                (4, half, fn.L),
+            )
+            fp = jnp.stack([G1, G2, H1, H2])              # (4, half, C, L)
+            fg = sm(fs, fp)
+            G_new = curve.add(fg[0], fg[1])
+            H_new = curve.add(fg[2], fg[3])
+            alpha = fn.add(
+                alpha, fn.add(fn.mul(e_sqr, dL), fn.mul(e_sqr_inv, dR)))
+
+            pad_f = jnp.zeros((n - half, fn.L), jnp.int32)
+            pad_p = jnp.broadcast_to(ident, (n - half, *ident.shape))
+            carry = (
+                jnp.concatenate([a_new, pad_f]),
+                jnp.concatenate([b_new, pad_f]),
+                jnp.concatenate([G_new, pad_p]),
+                jnp.concatenate([H_new, pad_p]),
+                alpha,
+            )
+            return carry, LR
+
+        xs = (es_m, es_inv, es_sqr, es_inv_sqr, dLs_m, dRs_m,
+              ynhats, ynhat_invs,
+              jnp.asarray(idx_hi_np), jnp.asarray(mask_np))
+        (a, b, G, H, alpha), LRs = jax.lax.scan(
+            body, (a, b, G, H, alpha), xs)
+
+        # final A, B (wip:181-208) — direct 4-lane ladder, no canonical pad
+        y0 = power_of_y[0]
+        rcbsca = fn.add(
+            fn.mul(fn.mul(r_m, y0), b[0]), fn.mul(fn.mul(s_m, y0), a[0]))
+        rcs = fn.mul(fn.mul(r_m, y0), s_m)
+        zf = jnp.zeros((fn.L,), jnp.int32)
+        AB_s = jnp.stack([
+            jnp.stack([r_m, s_m, rcbsca, delta_m]),
+            jnp.stack([rcs, eta_m, zf, zf]),
+        ])
+        AB_p = jnp.stack([
+            jnp.stack([G[0], H[0], g, h]),
+            jnp.stack([g, h, ident, ident]),
+        ])
+        AB = ts(sm(fn.from_mont(AB_s), AB_p))
+        A, B = AB[0], AB[1]
+
+        r_prime, s_prime, d_prime = _final_scalars_core(
+            curve, a, b, alpha, r_m, s_m, delta_m, eta_m, ef_m)
+        return LRs[:, 0], LRs[:, 1], A, B, r_prime, s_prime, d_prime
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _wip_prove_known_scan_jit(curve, n: int):
+    return jax.jit(_wip_prove_known_scan_prog(curve, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _wip_prove_known_scan_vmap_jit(curve, n: int):
+    """Batched variant: K proofs' whole fold loops in one compiled program
+    (pk generators broadcast, everything else carries a leading K axis)."""
+    return jax.jit(jax.vmap(
+        _wip_prove_known_scan_prog(curve, n),
+        in_axes=(0, 0, 0, 0, None, None, None, None,
+                 0, 0, 0, 0, 0, 0, 0, 0),
+    ))
+
+
 def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:
     """Fold loop (wip:36-227). a, b, power_of_y: (n, L) Montgomery arrays;
     alpha: (L,); P: (C, L). Challenges/blinds come from host transcript/rng.
 
-    Compile discipline: L and R are ONE batched (2, W) MSM per round, and the
-    generator folds are ONE (4, n/2-padded) scalar-mul per round padded to a
-    per-proof-size constant — so the whole fold loop runs on two or three
-    compiled programs regardless of round. The reference's running
-    P += e²L + e⁻²R (wip:137-142) is dropped: P is never read again by the
-    prover (the proof output is L/R/A/B/r'/s'/δ' only), so it is dead work."""
-    from ..msm.engine import small_floor
+    Two execution modes:
+    - challenges known ahead (DeterministicTranscript replay): the whole
+      loop is ONE compiled program (_wip_prove_known_jit);
+    - interactive Fiat-Shamir (ShaTranscript): two compiled programs per
+      round (L/R, then fold after the host hashes L/R into the challenge),
+      plus the final A/B and response programs.
 
+    Compile discipline either way: L and R are ONE batched (2, W) MSM per
+    round, and the generator folds are ONE (4, n/2-padded) scalar-mul per
+    round padded to a per-proof-size constant."""
     fn = curve.fn
     n = a.shape[0]
     assert n & (n - 1) == 0, "length must be a power of two"
-    fold_pad = max(small_floor(), n // 2)  # one fold program per proof size
+    fold_pad = _fold_pad(n)
+    logn = n.bit_length() - 1
+
+    import os
+
+    fuse = _fuse_ok()
+    # the scan program is one small compiled body — on by default on every
+    # backend; BPP_FUSE_PROVER=0 forces the eager loop (differential debug)
+    known = (getattr(transcript, "challenges_known_ahead", False)
+             and getattr(rng, "blinds_known_ahead", False)
+             and os.environ.get("BPP_FUSE_PROVER") != "0")
+    if known and logn > 0:
+        dLs, dRs = zip(*[rng.round_blinds() for _ in range(logn)])
+        es = [transcript.round_challenge(curve, None, None) % fn.p
+              for _ in range(logn)]
+        r, s, delta, eta = rng.final_blinds()
+        ef = transcript.final_challenge(curve, None, None) % fn.p
+        L_vec, R_vec, A, B, r_prime, s_prime, d_prime = (
+            _wip_prove_known_scan_jit(curve, n)
+        )(
+            a, b, power_of_y, alpha, pk.G_vec, pk.H_vec, pk.g, pk.h,
+            jnp.asarray(fn.encode(list(es))),
+            jnp.asarray(fn.encode(list(dLs))),
+            jnp.asarray(fn.encode(list(dRs))),
+            jnp.asarray(fn.encode(r)), jnp.asarray(fn.encode(s)),
+            jnp.asarray(fn.encode(delta)), jnp.asarray(fn.encode(eta)),
+            jnp.asarray(fn.encode(ef)),
+        )
+        return WipProof(
+            L_vec=L_vec, R_vec=R_vec, A=A, B=B,
+            r_prime=r_prime, s_prime=s_prime, d_prime=d_prime,
+        )
+
     G = pk.G_vec
     H = pk.H_vec
-    g1 = pk.g[None]
-    h1 = pk.h[None]
-
     L_list: List[jnp.ndarray] = []
     R_list: List[jnp.ndarray] = []
 
-    while n != 1:
-        n //= 2
-        a1, a2 = a[:n], a[n:]
-        b1, b2 = b[:n], b[n:]
-        y1 = power_of_y[:n]
-        y2 = power_of_y[n:]
-        G1, G2 = G[:n], G[n:]
-        H1, H2 = H[:n], H[n:]
+    # eager cores on CPU (shared per-op programs); per-round compiled
+    # programs on TPU (two dispatches per round instead of ~30)
+    lr = (lambda nn: _round_lr_jit(curve, nn)) if fuse else (
+        lambda nn: functools.partial(_round_lr_core, curve))
+    fold = (lambda nn: _round_fold_jit(curve, nn, fold_pad)) if fuse else (
+        lambda nn: functools.partial(_round_fold_core, curve, fold_pad))
 
-        c_L = _wip(fn, a1, b2, y1)
-        c_R = _wip(fn, a2, b1, y2)
+    while n != 1:
         d_L, d_R = rng.round_blinds()
         d_L_m = jnp.asarray(fn.encode(d_L))
         d_R_m = jnp.asarray(fn.encode(d_R))
-
-        y_nhat = y1[n - 1]
-        y_nhat_inv = fn.inv(y_nhat)
-
-        # L = Σ (ŷ⁻¹a1)ᵢ·G2ᵢ + Σ b2ᵢ·H1ᵢ + c_L·g + d_L·h   (wip:98-113)
-        # R = Σ (ŷ·a2)ᵢ·G1ᵢ + Σ b1ᵢ·H2ᵢ + c_R·g + d_R·h   (wip:115-125)
-        LR_scalars = jnp.stack([
-            jnp.concatenate(
-                [fn.mul(a1, y_nhat_inv), b2, c_L[None], d_L_m[None]], axis=0
-            ),
-            jnp.concatenate(
-                [fn.mul(a2, y_nhat), b1, c_R[None], d_R_m[None]], axis=0
-            ),
-        ])
-        LR_points = jnp.stack([
-            jnp.concatenate([G2, H1, g1, h1], axis=0),
-            jnp.concatenate([G1, H2, g1, h1], axis=0),
-        ])
-        LR = msm(curve, fn.from_mont(LR_scalars), LR_points)
-        L, R = LR[0], LR[1]
-
+        L, R, y_nhat, y_nhat_inv = lr(n)(
+            a, b, power_of_y, G, H, pk.g, pk.h, d_L_m, d_R_m
+        )
         L_list.append(L)
         R_list.append(R)
 
         e = transcript.round_challenge(curve, L, R) % fn.p
         e_m = jnp.asarray(fn.encode(e))
-        e_inv = fn.inv(e_m)
-        e_sqr = fn.mul(e_m, e_m)
-        e_sqr_inv = fn.mul(e_inv, e_inv)
-
-        y_nhat_e_inv = fn.mul(y_nhat, e_inv)
-        y_nhat_inv_e = fn.mul(y_nhat_inv, e_m)
-
-        # fold a, b (field) and G, H (group)   (wip:147-164)
-        a = fn.add(fn.mul(a1, e_m), fn.mul(a2, y_nhat_e_inv))
-        b = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
-        fold_scalars = fn.from_mont(
-            jnp.stack([e_inv, y_nhat_inv_e, e_m, e_inv])
-        )[:, None, :]
-        fold_points = jnp.stack([G1, G2, H1, H2])  # (4, n, C, L)
-        fold_points = _pad_points(curve, fold_points, fold_pad)
-        fg = scalar_mul(curve, fold_scalars, fold_points)
-        G = curve.add(fg[0], fg[1])[:n]
-        H = curve.add(fg[2], fg[3])[:n]
-        power_of_y = y1
-        alpha = fn.add(alpha, fn.add(fn.mul(e_sqr, d_L_m), fn.mul(e_sqr_inv, d_R_m)))
+        a, b, power_of_y, G, H, alpha = fold(n)(
+            a, b, power_of_y, G, H, alpha,
+            d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv,
+        )
+        n //= 2
 
     r, s, delta, eta = rng.final_blinds()
     r_m = jnp.asarray(fn.encode(r))
     s_m = jnp.asarray(fn.encode(s))
     delta_m = jnp.asarray(fn.encode(delta))
     eta_m = jnp.asarray(fn.encode(eta))
-    y0 = power_of_y[0]
 
-    # A = r·G0 + s·H0 + (r·y·b0 + s·y·a0)·g + δ·h ; B = (r·y·s)·g + η·h (wip:181-208)
-    rcbsca = fn.add(
-        fn.mul(fn.mul(r_m, y0), b[0]), fn.mul(fn.mul(s_m, y0), a[0])
-    )
-    rcs = fn.mul(fn.mul(r_m, y0), s_m)
-    A = msm(
-        curve,
-        fn.from_mont(jnp.stack([r_m, s_m, rcbsca, delta_m])),
-        jnp.stack([G[0], H[0], pk.g, pk.h]),
-    )
-    B = msm(
-        curve,
-        fn.from_mont(jnp.stack([rcs, eta_m])),
-        jnp.stack([pk.g, pk.h]),
+    final_ab = _final_ab_jit(curve) if fuse else functools.partial(
+        _final_ab_core, curve)
+    A, B = final_ab(
+        a, b, power_of_y[0], G[0], H[0], pk.g, pk.h,
+        r_m, s_m, delta_m, eta_m,
     )
 
     e = transcript.final_challenge(curve, A, B) % fn.p
     e_m = jnp.asarray(fn.encode(e))
-    r_prime = fn.add(r_m, fn.mul(a[0], e_m))
-    s_prime = fn.add(s_m, fn.mul(b[0], e_m))
-    d_prime = fn.add(
-        eta_m, fn.add(fn.mul(delta_m, e_m), fn.mul(alpha, fn.mul(e_m, e_m)))
+    final_scalars = _final_scalars_jit(curve) if fuse else functools.partial(
+        _final_scalars_core, curve)
+    r_prime, s_prime, d_prime = final_scalars(
+        a, b, alpha, r_m, s_m, delta_m, eta_m, e_m
     )
 
     return WipProof(

@@ -25,7 +25,13 @@ import secrets
 
 class DeterministicTranscript:
     """Reference constants: single y=z=7 (range/mod.rs:109-110), aggregated
-    y=12 z=23 (range/mod.rs:278-279), rounds e=7 (wip:131), final e=99 (wip:211)."""
+    y=12 z=23 (range/mod.rs:278-279), rounds e=7 (wip:131), final e=99 (wip:211).
+
+    `challenges_known_ahead` marks that challenges do not depend on the
+    prover's messages, so the whole fold loop can run as ONE compiled device
+    program with no host round-trips (wip.py known-challenge path)."""
+
+    challenges_known_ahead = True
 
     def __init__(self, m: int):
         self.m = m
@@ -43,6 +49,8 @@ class DeterministicTranscript:
 class DeterministicRng:
     """Reference constants: alpha 7/33 (range/mod.rs:94, :256), round blinds
     d_L=4 d_R=5 (wip:94-95), final r=33 s=44 delta=88 eta=123 (wip:175-178)."""
+
+    blinds_known_ahead = True
 
     def __init__(self, m: int):
         self.m = m

@@ -29,6 +29,12 @@ from bulletproofsplus_tpu.utils.cache import setup_compilation_cache  # noqa: E4
 
 setup_compilation_cache()
 
+# Run provers on the eager per-op path by default: the fused scan prover is
+# one compiled program per (curve, mn) and XLA:CPU takes minutes to compile
+# its nested scans (TPU is the target for fusion). test_protocol_tpu has one
+# dedicated scan-path differential test that re-enables it.
+os.environ.setdefault("BPP_FUSE_PROVER", "0")
+
 # XLA:CPU intermittently segfaults inside backend_compile_and_load (LLVM
 # codegen; rare, load-dependent — observed ~2 per 100 compile-heavy tests).
 # The crashed worker takes its current test down with it even though the

@@ -90,6 +90,31 @@ def test_prove_bit_exact_secp(curve_name):
     verify(curve, proof, pk, 8, prover.commitment_vec)
 
 
+def test_scan_prover_bit_exact(monkeypatch):
+    """The fused lax.scan prover (the TPU hot path; conftest disables it on
+    CPU because its one-program-per-size compile takes minutes) must produce
+    byte-identical proofs to the eager loop / golden oracle. One small config
+    keeps the compile bounded; the persistent cache makes reruns instant."""
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    curve, pk, prover, vs, gammas = _setup("edwards25519", 8, 1)
+    gc = GOLDEN_CURVES["edwards25519"]
+    gpk = GPublicKey.new(gc, 8)
+    gprover = GRangeProver()
+    for v, g in zip(vs, gammas):
+        gprover.commit(gc, gpk, v, g)
+    proof = prove(curve, pk, 8, prover)
+    gproof = gprotocol.prove(gc, gpk, 8, gprover)
+    got = proof.to_golden(curve)
+    assert got.proof.L_vec == gproof.proof.L_vec
+    assert got.proof.R_vec == gproof.proof.R_vec
+    assert got.proof.A == gproof.proof.A
+    assert got.proof.B == gproof.proof.B
+    assert got.proof.r_prime == gproof.proof.r_prime
+    assert got.proof.s_prime == gproof.proof.s_prime
+    assert got.proof.d_prime == gproof.proof.d_prime
+    verify(curve, proof, pk, 8, prover.commitment_vec)
+
+
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
 @pytest.mark.parametrize("n,m", [(8, 2)])
 def test_real_transcript_roundtrip(curve_name, n, m):
