@@ -17,9 +17,20 @@ from .utils.cache import setup_compilation_cache as _setup_cache
 _setup_cache()
 
 from . import errors  # noqa: E402
+from .config import Config, RangeProofSystem  # noqa: E402
 from .curves import CURVE_NAMES, curve_ops  # noqa: E402
 from .errors import ProofError, VerificationError
-from .protocol import PublicKey, RangeProof, RangeProver, prove, verify
+from .protocol import (
+    ProofBatch,
+    PublicKey,
+    RangeProof,
+    RangeProver,
+    batch_prove,
+    batch_verify,
+    prove,
+    stack_commitments,
+    verify,
+)
 from .transcript import (
     DeterministicRng,
     DeterministicTranscript,
@@ -31,18 +42,24 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CURVE_NAMES",
+    "Config",
     "DeterministicRng",
     "DeterministicTranscript",
+    "ProofBatch",
     "ProofError",
     "PublicKey",
     "RangeProof",
+    "RangeProofSystem",
     "RangeProver",
     "ShaTranscript",
     "SystemRng",
     "VerificationError",
+    "batch_prove",
+    "batch_verify",
     "curve_ops",
     "errors",
     "prove",
+    "stack_commitments",
     "verify",
     "__version__",
 ]

@@ -2,16 +2,19 @@ from .batch import batch_verify
 from .batchprove import batch_prove
 from .publickey import PublicKey
 from .range import (
+    ProofBatch,
     RangeProof,
     RangeProver,
     VerificationInputs,
     prove,
+    stack_commitments,
     verification_inputs,
     verify,
 )
 from .wip import WipProof, verification_scalars, wip_prove
 
 __all__ = [
+    "ProofBatch",
     "PublicKey",
     "RangeProof",
     "RangeProver",
@@ -20,6 +23,7 @@ __all__ = [
     "batch_prove",
     "batch_verify",
     "prove",
+    "stack_commitments",
     "verification_inputs",
     "verification_scalars",
     "verify",

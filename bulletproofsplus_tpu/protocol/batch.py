@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from ..errors import VerificationError
 from ..msm import msm
 from .range import (
+    ProofBatch,
     RangeProof,
     VerificationInputs,
+    stack_commitments,
     verification_inputs,
     verification_inputs_batch,
 )
@@ -30,31 +32,41 @@ def batch_verify(
     curve,
     pk,
     n: int,
-    proofs: Sequence[RangeProof],
-    commitment_lists: Sequence[Sequence],
+    proofs,
+    commitment_lists,
     transcripts: Optional[Sequence] = None,
     mesh=None,
     rng=None,
 ) -> None:
     """Verify many proofs over one pk in a single MSM. Raises on failure.
 
-    transcripts: per-proof transcript (default: deterministic, matching the
-    reference's constants). rng: optional callable returning random weight
-    ints (for tests); defaults to 128-bit secrets.
+    proofs: a ProofBatch (the zero-restacking fast path — what batch_prove
+    returns) or a sequence of RangeProof. commitment_lists: a (K, m, C, L)
+    array or K per-proof commitment lists. transcripts: per-proof transcript
+    (default: deterministic, matching the reference's constants). rng:
+    optional callable returning random weight ints (for tests); defaults to
+    128-bit secrets.
     """
     fn = curve.fn
-    if len(proofs) != len(commitment_lists):
+    n_commits = (commitment_lists.shape[0]
+                 if isinstance(commitment_lists, jnp.ndarray)
+                 else len(commitment_lists))
+    if len(proofs) != n_commits:
         raise VerificationError("proof/commitment count mismatch")
-    if not proofs:
+    if len(proofs) == 0:
         return
     transcripts = transcripts or [None] * len(proofs)
     draw = rng or (lambda: secrets.randbits(128))
     K = len(proofs)
 
-    homogeneous = (
-        all(len(V) == len(commitment_lists[0]) for V in commitment_lists[1:])
-        and len(commitment_lists[0]) > 1
-    )
+    if isinstance(commitment_lists, jnp.ndarray):
+        homogeneous = commitment_lists.shape[1] > 1
+    else:
+        homogeneous = (
+            all(len(V) == len(commitment_lists[0])
+                for V in commitment_lists[1:])
+            and len(commitment_lists[0]) > 1
+        )
     if homogeneous:
         # ONE vmapped program computes every proof's exponent vectors, and
         # ONE weighted multiply + tree-reduce merges them (the per-proof

@@ -17,7 +17,9 @@ Two transcript regimes:
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -26,7 +28,7 @@ import numpy as np
 
 from ..transcript import DeterministicRng, DeterministicTranscript
 from .range import (
-    RangeProof,
+    ProofBatch,
     _bit_commitment_prog,
     _bit_decompose,
     _prove_setup_multiple_prog,
@@ -34,7 +36,6 @@ from .range import (
     _validate,
 )
 from .wip import (
-    WipProof,
     _final_ab_core,
     _final_scalars_core,
     _round_fold_core,
@@ -106,13 +107,16 @@ def batch_prove(
     provers: Sequence,
     transcripts: Optional[Sequence] = None,
     rngs: Optional[Sequence] = None,
-) -> List[RangeProof]:
+):
     """Prove K range statements (each a RangeProver over the shared pk) in
     one vmapped pipeline. Requires a homogeneous batch (same m for every
-    prover); heterogeneous batches fall back to sequential prove().
+    prover); heterogeneous batches fall back to sequential prove() and
+    return a list of RangeProof.
 
-    Returns one RangeProof per prover, identical to what prove() produces
-    for the same (transcript, rng)."""
+    Returns a ProofBatch (pre-stacked arrays — feed it straight to
+    batch_verify with zero re-stacking; index it for individual
+    RangeProofs, identical to what prove() produces for the same
+    (transcript, rng))."""
     from .range import prove as _prove_one
 
     fn = curve.fn
@@ -131,6 +135,38 @@ def batch_prove(
     transcripts = (list(transcripts) if transcripts
                    else [DeterministicTranscript(m) for _ in range(K)])
     rngs = list(rngs) if rngs else [DeterministicRng(m) for _ in range(K)]
+
+    # CPU gate: the vmapped prover programs (a point-ladder MSM per fold
+    # round) exhaust LLVM compile memory on XLA:CPU (observed >100 GB →
+    # "LLVM compilation error: Cannot allocate memory"); TPU compiles them
+    # fine. Fall back to K sequential eager proves — identical proof bytes,
+    # same ProofBatch container. BPP_BATCH_VMAP=1 forces the vmapped
+    # pipeline anyway (debug/parity runs that can afford the compile).
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("BPP_BATCH_VMAP") != "1"):
+        return ProofBatch.from_proofs([
+            _prove_one(curve, pk, n, p,
+                       transcript=transcripts[i], rng=rngs[i])
+            for i, p in enumerate(provers)
+        ])
+
+    # Chunk the vmapped K axis: one program instance per K also means one
+    # compile per K, and very large K crashes the TPU worker (kernel fault
+    # observed at K=64, n=64, m=16 — the whole-fold scan's working set).
+    # Chunks of a fixed known-good size reuse ONE compiled program and
+    # bound device memory; results concatenate into a single ProofBatch.
+    chunk = int(os.environ.get("BPP_BATCH_PROVE_CHUNK", "16"))
+    if K > chunk:
+        parts = [
+            batch_prove(curve, pk, n, provers[i:i + chunk],
+                        transcripts=transcripts[i:i + chunk],
+                        rngs=rngs[i:i + chunk])
+            for i in range(0, K, chunk)
+        ]
+        return ProofBatch(**{
+            f.name: jnp.concatenate([getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(ProofBatch)
+        })
 
     mn = n * m
     logn = mn.bit_length() - 1
@@ -174,9 +210,14 @@ def batch_prove(
         A_all, V_arg, pk.G_vec, pk.H_vec, pk.g,
     )
 
+    # BPP_FUSE_PROVER=0 forces the per-round path even with known-ahead
+    # challenges (same bytes; the whole-fold scan's one-program-per-size
+    # compile takes minutes on XLA:CPU — tests/conftest.py)
     known = all(
         getattr(t, "challenges_known_ahead", False) for t in transcripts
-    ) and all(getattr(r, "blinds_known_ahead", False) for r in rngs)
+    ) and all(
+        getattr(r, "blinds_known_ahead", False) for r in rngs
+    ) and os.environ.get("BPP_FUSE_PROVER") != "0"
 
     if known and logn > 0:
         dLs = np.empty((K, logn), dtype=object)
@@ -204,13 +245,10 @@ def batch_prove(
             enc2(rsde[:, 2]), enc2(rsde[:, 3]),
             jnp.asarray(fn.encode(efs)),
         )
-        return [
-            RangeProof(A=A_all[i], proof=WipProof(
-                L_vec=L_vec[i], R_vec=R_vec[i], A=A[i], B=B[i],
-                r_prime=r_p[i], s_prime=s_p[i], d_prime=d_p[i],
-            ))
-            for i in range(K)
-        ]
+        return ProofBatch(
+            A=A_all, L_vec=L_vec, R_vec=R_vec, A_wip=A, B=B,
+            r_prime=r_p, s_prime=s_p, d_prime=d_p,
+        )
 
     # interactive path: K transcripts advance in lockstep, one vmapped
     # L/R + fold program pair per round
@@ -265,10 +303,7 @@ def batch_prove(
         (K, 0, *A.shape[-2:]), jnp.int32)
     R_vec = jnp.stack(R_cols, axis=1) if R_cols else jnp.zeros(
         (K, 0, *A.shape[-2:]), jnp.int32)
-    return [
-        RangeProof(A=A_all[i], proof=WipProof(
-            L_vec=L_vec[i], R_vec=R_vec[i], A=A[i], B=B[i],
-            r_prime=r_p[i], s_prime=s_p[i], d_prime=d_p[i],
-        ))
-        for i in range(K)
-    ]
+    return ProofBatch(
+        A=A_all, L_vec=L_vec, R_vec=R_vec, A_wip=A, B=B,
+        r_prime=r_p, s_prime=s_p, d_prime=d_p,
+    )

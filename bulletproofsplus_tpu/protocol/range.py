@@ -73,6 +73,64 @@ class RangeProof:
 
 
 @dataclasses.dataclass
+class ProofBatch:
+    """K homogeneous range proofs (same n, m) as pre-stacked arrays.
+
+    batch_prove() produces its per-proof tensors with a leading K axis
+    already; keeping them stacked (instead of slicing into K RangeProofs
+    that batch_verify would immediately re-stack) removes ~130+ host
+    dispatches per batch — measured 1.7 s of jnp.stack overhead at K=64 on
+    a remote TPU backend. Indexable/iterable as a sequence of RangeProof
+    for API parity with the one-at-a-time path (range/mod.rs:31-55)."""
+
+    A: jnp.ndarray        # (K, C, L) bit commitments
+    L_vec: jnp.ndarray    # (K, rounds, C, L)
+    R_vec: jnp.ndarray    # (K, rounds, C, L)
+    A_wip: jnp.ndarray    # (K, C, L)
+    B: jnp.ndarray        # (K, C, L)
+    r_prime: jnp.ndarray  # (K, L) Montgomery
+    s_prime: jnp.ndarray  # (K, L)
+    d_prime: jnp.ndarray  # (K, L)
+
+    @property
+    def rounds(self) -> int:
+        return self.L_vec.shape[1]
+
+    def __len__(self) -> int:
+        return self.A.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return ProofBatch(
+                A=self.A[i], L_vec=self.L_vec[i], R_vec=self.R_vec[i],
+                A_wip=self.A_wip[i], B=self.B[i], r_prime=self.r_prime[i],
+                s_prime=self.s_prime[i], d_prime=self.d_prime[i],
+            )
+        return RangeProof(A=self.A[i], proof=WipProof(
+            L_vec=self.L_vec[i], R_vec=self.R_vec[i],
+            A=self.A_wip[i], B=self.B[i],
+            r_prime=self.r_prime[i], s_prime=self.s_prime[i],
+            d_prime=self.d_prime[i],
+        ))
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+    @classmethod
+    def from_proofs(cls, proofs: Sequence[RangeProof]) -> "ProofBatch":
+        return cls(
+            A=jnp.stack([p.A for p in proofs]),
+            L_vec=jnp.stack([p.proof.L_vec for p in proofs]),
+            R_vec=jnp.stack([p.proof.R_vec for p in proofs]),
+            A_wip=jnp.stack([p.proof.A for p in proofs]),
+            B=jnp.stack([p.proof.B for p in proofs]),
+            r_prime=jnp.stack([p.proof.r_prime for p in proofs]),
+            s_prime=jnp.stack([p.proof.s_prime for p in proofs]),
+            d_prime=jnp.stack([p.proof.d_prime for p in proofs]),
+        )
+
+
+@dataclasses.dataclass
 class RangeProver:
     """Witness container (range/prover.rs:13-42)."""
 
@@ -377,29 +435,67 @@ def _wip_verification_inputs(
     )
 
 
-def verification_inputs_batch(curve, proofs, pk, n, commitment_lists,
+def stack_commitments(curve, commitment_lists) -> jnp.ndarray:
+    """(K, m, C, L) commitment tensor from K per-proof commitment lists.
+    A pre-stacked array passes through unchanged — the form batch callers
+    should hold statements in (one stack, not K·m per-array dispatches)."""
+    if isinstance(commitment_lists, jnp.ndarray):
+        return commitment_lists
+    K = len(commitment_lists)
+    m = len(commitment_lists[0])
+    V_flat = jnp.stack([v for V in commitment_lists for v in V])
+    return V_flat.reshape(K, m, *V_flat.shape[-2:])
+
+
+def verification_inputs_batch(curve, proofs, pk, n, commitments,
                               transcripts):
     """Stacked verification inputs over a leading K axis for a HOMOGENEOUS
     batch (same n and m>1 for every proof): per-proof host transcript
     replay, then ONE vmapped device program computes every proof's exponent
     vectors (K sequential per-proof programs would be dispatch-bound on a
-    remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64)."""
+    remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64).
+
+    proofs: a ProofBatch (zero re-stacking) or a sequence of RangeProof.
+    commitments: (K, m, C, L) array or K per-proof commitment lists."""
     fn = curve.fn
-    m = len(commitment_lists[0])
+    if not isinstance(proofs, ProofBatch):
+        proofs = ProofBatch.from_proofs(proofs)
+    batch = proofs
+    V_all = stack_commitments(curve, commitments)
+    K, m = V_all.shape[0], V_all.shape[1]
     mn = n * m
     logn = mn.bit_length() - 1
+    if len(batch) != K or mn != (1 << batch.rounds):
+        raise VerificationError()
+
+    # transcript replay: deterministic transcripts never look at their
+    # point arguments; hash transcripts get host views fetched ONCE per
+    # stacked tensor (not once per proof)
+    deterministic = all(
+        tr is None or getattr(tr, "challenges_known_ahead", False)
+        for tr in transcripts
+    )
+    if deterministic:
+        A_np = Aw_np = B_np = L_np = R_np = V_np = [None] * K
+    else:
+        A_np, Aw_np, B_np = (np.asarray(batch.A), np.asarray(batch.A_wip),
+                             np.asarray(batch.B))
+        L_np, R_np = np.asarray(batch.L_vec), np.asarray(batch.R_vec)
+        V_np = np.asarray(V_all)
     ys, zs, ess, efs = [], [], [], []
-    for proof, V, tr in zip(proofs, commitment_lists, transcripts):
-        wproof = proof.proof
-        if mn != (1 << wproof.rounds) or logn != mn.bit_length() - 1:
-            raise VerificationError()
+    for i, tr in enumerate(transcripts):
         tr = tr or DeterministicTranscript(m)
-        y, z = tr.challenge_yz(curve, list(V), proof.A)
+        y, z = tr.challenge_yz(curve, list(V_np[i] if V_np[i] is not None
+                                           else [None] * m), A_np[i])
         es = [
-            tr.round_challenge(curve, wproof.L_vec[i], wproof.R_vec[i]) % fn.p
-            for i in range(logn)
+            tr.round_challenge(
+                curve,
+                L_np[i][j] if L_np[i] is not None else None,
+                R_np[i][j] if R_np[i] is not None else None,
+            ) % fn.p
+            for j in range(logn)
         ]
-        e = tr.final_challenge(curve, wproof.A, wproof.B) % fn.p
+        e = tr.final_challenge(curve, Aw_np[i], B_np[i]) % fn.p
         if any(c == 0 for c in es) or e == 0 or y % fn.p == 0 or z % fn.p == 0:
             raise VerificationError()
         ys.append(y)
@@ -413,21 +509,11 @@ def verification_inputs_batch(curve, proofs, pk, n, commitment_lists,
         jnp.asarray(fn.encode(zs)),
         jnp.asarray(np.stack([fn.encode(es) for es in ess])),
         jnp.asarray(fn.encode(efs)),
-        jnp.stack([p.proof.r_prime for p in proofs]),
-        jnp.stack([p.proof.s_prime for p in proofs]),
-        jnp.stack([p.proof.d_prime for p in proofs]),
+        batch.r_prime, batch.s_prime, batch.d_prime,
     )
-    # unique points assembled with a handful of WIDE stacks (a per-proof
-    # concat loop is ~130 dispatches — latency-bound on a remote backend)
-    A_all = jnp.stack([p.A for p in proofs])[:, None]          # (K,1,C,L)
-    Aw_all = jnp.stack([p.proof.A for p in proofs])[:, None]
-    B_all = jnp.stack([p.proof.B for p in proofs])[:, None]
-    L_all = jnp.stack([p.proof.L_vec for p in proofs])         # (K,logn,C,L)
-    R_all = jnp.stack([p.proof.R_vec for p in proofs])
-    V_flat = jnp.stack([v for V in commitment_lists for v in V])
-    V_all = V_flat.reshape(len(proofs), m, *V_flat.shape[-2:])
     uniq_p = jnp.concatenate(
-        [A_all, Aw_all, B_all, L_all, R_all, V_all], axis=1
+        [batch.A[:, None], batch.A_wip[:, None], batch.B[:, None],
+         batch.L_vec, batch.R_vec, V_all], axis=1
     )
     return VerificationInputs(
         unique_scalars=uniq_s,   # (K, k, L)

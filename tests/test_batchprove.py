@@ -1,0 +1,115 @@
+"""Batch prover (vmapped pipeline) differential tests.
+
+batch_prove must produce byte-identical proofs to K sequential prove()
+calls under the same (transcript, rng), in both transcript regimes:
+known-ahead challenges (deterministic replay → whole-fold scan program)
+and interactive Fiat-Shamir (lockstep per-round programs). Its ProofBatch
+output feeds batch_verify with zero re-stacking.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import pytest
+
+from bulletproofsplus_tpu import (
+    PublicKey,
+    RangeProver,
+    VerificationError,
+    curve_ops,
+    prove,
+)
+from bulletproofsplus_tpu.protocol import (
+    ProofBatch,
+    batch_prove,
+    batch_verify,
+    stack_commitments,
+)
+from bulletproofsplus_tpu.transcript import DeterministicRng, ShaTranscript
+
+
+def _provers(pk, n, m, K):
+    provers = []
+    for k in range(K):
+        p = RangeProver()
+        for i in range(m):
+            p.commit(pk, (7 * k + 3 * i + 2) % (1 << n), 2 * i + k + 3)
+        provers.append(p)
+    return provers
+
+
+def _assert_same(curve, got, want):
+    g, w = got.to_golden(curve), want.to_golden(curve)
+    assert g.A == w.A
+    assert g.proof.L_vec == w.proof.L_vec
+    assert g.proof.R_vec == w.proof.R_vec
+    assert g.proof.A == w.proof.A
+    assert g.proof.B == w.proof.B
+    assert (g.proof.r_prime, g.proof.s_prime, g.proof.d_prime) == (
+        w.proof.r_prime, w.proof.s_prime, w.proof.d_prime)
+
+
+def test_batch_prove_known_challenges_matches_prove():
+    """Deterministic transcripts. On XLA:CPU batch_prove falls back to
+    sequential proves inside a ProofBatch (the vmapped pipeline OOMs LLVM —
+    see batch_prove's CPU gate); this still covers the ProofBatch container
+    and its zero-restacking handoff to batch_verify. The vmapped pipeline
+    itself runs on TPU via bench.py."""
+    curve = curve_ops("edwards25519")
+    n, m, K = 8, 1, 3
+    pk = PublicKey.new(curve, n * m)
+    provers = _provers(pk, n, m, K)
+
+    pbatch = batch_prove(curve, pk, n, provers)
+    assert isinstance(pbatch, ProofBatch)
+    assert len(pbatch) == K and pbatch.rounds == 3
+
+    for i, p in enumerate(provers):
+        _assert_same(curve, pbatch[i], prove(curve, pk, n, p))
+
+    commits = stack_commitments(
+        curve, [p.commitment_vec for p in provers])
+    batch_verify(curve, pk, n, pbatch, commits)
+
+
+def test_batch_prove_interactive_sha_matches_prove():
+    """ShaTranscript (challenges depend on prover messages); blinds pinned
+    by DeterministicRng so batch == sequential byte-for-byte."""
+    curve = curve_ops("edwards25519")
+    n, m, K = 8, 2, 2
+    pk = PublicKey.new(curve, n * m)
+    provers = _provers(pk, n, m, K)
+
+    pbatch = batch_prove(
+        curve, pk, n, provers,
+        transcripts=[ShaTranscript(m) for _ in range(K)],
+        rngs=[DeterministicRng(m) for _ in range(K)],
+    )
+    for i, p in enumerate(provers):
+        want = prove(curve, pk, n, p,
+                     transcript=ShaTranscript(m), rng=DeterministicRng(m))
+        _assert_same(curve, pbatch[i], want)
+
+    # homogeneous m>1 vmapped batch verify, non-deterministic replay path
+    commits = stack_commitments(
+        curve, [p.commitment_vec for p in provers])
+    batch_verify(curve, pk, n, pbatch, commits,
+                 transcripts=[ShaTranscript(m) for _ in range(K)])
+
+
+def test_batch_verify_proofbatch_rejects_tampered():
+    curve = curve_ops("edwards25519")
+    n, m, K = 8, 2, 2
+    pk = PublicKey.new(curve, n * m)
+    provers = _provers(pk, n, m, K)
+    pbatch = batch_prove(curve, pk, n, provers)
+    commits = stack_commitments(
+        curve, [p.commitment_vec for p in provers])
+    batch_verify(curve, pk, n, pbatch, commits)
+
+    bad = dataclasses.replace(
+        pbatch,
+        r_prime=pbatch.r_prime.at[1].set(
+            jnp.asarray(curve.fn.encode(987654321))),
+    )
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, n, bad, commits)

@@ -1,0 +1,65 @@
+"""Config system + RangeProofSystem facade tests."""
+import pytest
+
+from bulletproofsplus_tpu import Config, RangeProofSystem, VerificationError
+from bulletproofsplus_tpu.errors import ProvingError
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Config(curve="nist-p256")
+    with pytest.raises(ValueError):
+        Config(mode="sha3")
+
+
+@pytest.fixture(scope="module")
+def sha_system():
+    return RangeProofSystem(Config(curve="edwards25519", n=8, m=2, mode="sha"))
+
+
+def test_system_prove_verify_roundtrip(sha_system):
+    sys = sha_system
+    st = sys.statement([5, 200])
+    proof = sys.prove(st)
+    sys.verify(proof, st.commitments)
+
+    # serialization round-trip through the facade
+    data = sys.proof_to_bytes(proof)
+    sys.verify(sys.proof_from_bytes(data), st.commitments)
+
+    with pytest.raises(VerificationError):
+        sys.verify(proof, list(reversed(st.commitments)))
+
+
+def test_system_batch(sha_system):
+    sys = sha_system
+    sts = [sys.statement([5 + k, 100 + k]) for k in range(2)]
+    pbatch = sys.batch_prove(sts)
+    sys.batch_verify(pbatch, [s.commitments for s in sts])
+
+
+def test_system_statement_validation(sha_system):
+    with pytest.raises(ProvingError):
+        sha_system.statement([1, 2, 3])  # m=2 expected
+
+
+def test_deterministic_mode_matches_default_path():
+    from bulletproofsplus_tpu import PublicKey, RangeProver, curve_ops, prove
+
+    cfg = Config(curve="edwards25519", n=8, m=2, mode="deterministic",
+                 hash_generators=False)
+    sys = RangeProofSystem(cfg)
+    with pytest.raises(ProvingError):
+        sys.statement([2, 5])  # needs explicit gammas in deterministic mode
+    st = sys.statement([2, 5], gammas=[3, 7])
+    proof = sys.prove(st)
+    sys.verify(proof, st.commitments)
+
+    curve = curve_ops("edwards25519")
+    pk = PublicKey.new(curve, 16)
+    prover = RangeProver()
+    prover.commit(pk, 2, 3)
+    prover.commit(pk, 5, 7)
+    want = prove(curve, pk, 8, prover)
+    assert (proof.to_golden(curve).proof.r_prime
+            == want.to_golden(curve).proof.r_prime)
