@@ -348,20 +348,157 @@ def _wip_prove_known_scan_prog(curve, n: int):
     return f
 
 
+def _wip_prove_known_unrolled_prog(curve, n: int):
+    """The whole fold loop + finals as ONE compiled program with TRUE
+    per-round shapes (the halving loop unrolled log2(n) times).
+
+    The scan variant above keeps one constant-shape body — elegant, but
+    every round then runs full-width lanes: at n=1024 that is ~7x more
+    ladder point-ops than the true Σ(2·n̂+2 + 4·n̂) halving widths
+    (measured 23.4 s → the fold dominates batch proving). Unrolling costs
+    one larger compile (persistently cached) and does only the real work.
+    Same inputs/outputs as the scan program, byte-identical proofs."""
+    from ..msm.engine import _next_pow2, _scalar_mul_jit, _tree_sum_jit
+
+    fn = curve.fn
+    logn = n.bit_length() - 1
+    nbits = fn.order_bits
+    hs = [n >> (r + 1) for r in range(logn)]
+
+    def f(a, b, power_of_y, alpha, G, H, g, h,
+          es_m, dLs_m, dRs_m, r_m, s_m, delta_m, eta_m, ef_m):
+        sm = _scalar_mul_jit(curve, nbits)
+        ts = _tree_sum_jit(curve)
+        ident = jnp.asarray(curve.identity_np)
+
+        _, es_inv = fn.batch_invert(es_m)
+        es_sqr = fn.mul(es_m, es_m)
+        es_inv_sqr = fn.mul(es_inv, es_inv)
+        ynhats = power_of_y[np.array([h_ - 1 for h_ in hs])]  # (logn, L)
+        _, ynhat_invs = fn.batch_invert(ynhats)
+
+        Ls, Rs = [], []
+        for r in range(logn):
+            half = hs[r]
+            e_m, e_inv = es_m[r], es_inv[r]
+            ynhat, ynhat_inv = ynhats[r], ynhat_invs[r]
+            dL, dR = dLs_m[r], dRs_m[r]
+            a1, a2 = a[:half], a[half:]
+            b1, b2 = b[:half], b[half:]
+            G1, G2 = G[:half], G[half:]
+            H1, H2 = H[:half], H[half:]
+            y1 = power_of_y[:half]
+
+            c_L = fn.sum(fn.mul(fn.mul(a1, b2), y1))
+            c_R = fn.sum(fn.mul(fn.mul(a2, b1), fn.mul(y1, ynhat)))
+
+            # L = Σ (ŷ⁻¹a1)·G2 + Σ b2·H1 + c_L·g + d_L·h   (wip:98-113)
+            # R = Σ (ŷ a2)·G1 + Σ b1·H2 + c_R·g + d_R·h    (wip:115-125)
+            sL = jnp.concatenate(
+                [fn.mul(a1, ynhat_inv), b2, c_L[None], dL[None]])
+            sR = jnp.concatenate(
+                [fn.mul(a2, ynhat), b1, c_R[None], dR[None]])
+            S = jnp.stack([sL, sR])                       # (2, W, L)
+            P = jnp.stack([
+                jnp.concatenate([G2, H1, g[None], h[None]]),
+                jnp.concatenate([G1, H2, g[None], h[None]]),
+            ])
+            W = 2 * half + 2
+            WP = _next_pow2(W)
+            if WP != W:
+                S = jnp.concatenate(
+                    [S, jnp.zeros((2, WP - W, fn.L), jnp.int32)], axis=1)
+                P = jnp.concatenate(
+                    [P, jnp.broadcast_to(ident, (2, WP - W, *ident.shape))],
+                    axis=1)
+            LR = ts(sm(fn.from_mont(S), P))               # (2, C, L)
+            Ls.append(LR[0])
+            Rs.append(LR[1])
+
+            # fold (wip:147-164) at true width
+            a = fn.add(fn.mul(a1, e_m), fn.mul(a2, fn.mul(ynhat, e_inv)))
+            b = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
+            fs = jnp.broadcast_to(
+                fn.from_mont(jnp.stack(
+                    [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv]
+                ))[:, None, :],
+                (4, half, fn.L),
+            )
+            fg = sm(fs, jnp.stack([G1, G2, H1, H2]))
+            G = curve.add(fg[0], fg[1])
+            H = curve.add(fg[2], fg[3])
+            alpha = fn.add(
+                alpha, fn.add(fn.mul(es_sqr[r], dL), fn.mul(es_inv_sqr[r], dR)))
+
+        # final A, B (wip:181-208)
+        y0 = power_of_y[0]
+        rcbsca = fn.add(
+            fn.mul(fn.mul(r_m, y0), b[0]), fn.mul(fn.mul(s_m, y0), a[0]))
+        rcs = fn.mul(fn.mul(r_m, y0), s_m)
+        zf = jnp.zeros((fn.L,), jnp.int32)
+        AB_s = jnp.stack([
+            jnp.stack([r_m, s_m, rcbsca, delta_m]),
+            jnp.stack([rcs, eta_m, zf, zf]),
+        ])
+        AB_p = jnp.stack([
+            jnp.stack([G[0], H[0], g, h]),
+            jnp.stack([g, h, ident, ident]),
+        ])
+        AB = ts(sm(fn.from_mont(AB_s), AB_p))
+        A, B = AB[0], AB[1]
+
+        r_prime, s_prime, d_prime = _final_scalars_core(
+            curve, a, b, alpha, r_m, s_m, delta_m, eta_m, ef_m)
+        L_vec = (jnp.stack(Ls) if Ls
+                 else jnp.zeros((0, *A.shape), jnp.int32))
+        R_vec = (jnp.stack(Rs) if Rs
+                 else jnp.zeros((0, *A.shape), jnp.int32))
+        return L_vec, R_vec, A, B, r_prime, s_prime, d_prime
+
+    return f
+
+
 @functools.lru_cache(maxsize=None)
+def _wip_prove_known_jit_impl(curve, n: int, scan: bool):
+    prog = (_wip_prove_known_scan_prog(curve, n) if scan
+            else _wip_prove_known_unrolled_prog(curve, n))
+    return jax.jit(prog)
+
+
 def _wip_prove_known_scan_jit(curve, n: int):
-    return jax.jit(_wip_prove_known_scan_prog(curve, n))
+    """Single-proof whole-fold program. Defaults to the lax.scan variant:
+    its one-body compile is minutes cheaper than unrolling (the unrolled
+    single-proof compile exceeded 40 min on the TPU toolchain at n=1024)
+    and single-prove latency is dispatch-bound anyway. BPP_PROVER_SCAN=0
+    forces the unrolled variant."""
+    import os
+
+    return _wip_prove_known_jit_impl(
+        curve, n, os.environ.get("BPP_PROVER_SCAN", "1") == "1")
 
 
 @functools.lru_cache(maxsize=None)
-def _wip_prove_known_scan_vmap_jit(curve, n: int):
-    """Batched variant: K proofs' whole fold loops in one compiled program
-    (pk generators broadcast, everything else carries a leading K axis)."""
+def _wip_prove_known_vmap_jit_impl(curve, n: int, scan: bool):
+    prog = (_wip_prove_known_scan_prog(curve, n) if scan
+            else _wip_prove_known_unrolled_prog(curve, n))
     return jax.jit(jax.vmap(
-        _wip_prove_known_scan_prog(curve, n),
+        prog,
         in_axes=(0, 0, 0, 0, None, None, None, None,
                  0, 0, 0, 0, 0, 0, 0, 0),
     ))
+
+
+def _wip_prove_known_scan_vmap_jit(curve, n: int):
+    """Batched variant: K proofs' whole fold loops in one compiled program
+    (pk generators broadcast, everything else carries a leading K axis).
+    Defaults to the UNROLLED true-width rounds — ~4x faster per proof than
+    the masked constant-shape scan (0.37 s vs 1.52 s at n=1024, K=16) and
+    its one-time compile amortizes over the serving batch; BPP_PROVER_SCAN=1
+    forces the scan variant."""
+    import os
+
+    return _wip_prove_known_vmap_jit_impl(
+        curve, n, os.environ.get("BPP_PROVER_SCAN") == "1")
 
 
 def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:

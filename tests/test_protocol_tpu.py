@@ -115,6 +115,31 @@ def test_scan_prover_bit_exact(monkeypatch):
     verify(curve, proof, pk, 8, prover.commitment_vec)
 
 
+def test_unrolled_prover_bit_exact(monkeypatch):
+    """The UNROLLED whole-fold prover (batch_prove's default on TPU —
+    true per-round widths, ~4x less ladder work than the masked scan) must
+    also match the golden oracle byte-for-byte. BPP_PROVER_SCAN=0 routes
+    the single-proof path through it; mn=8 bounds the compile."""
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    monkeypatch.setenv("BPP_PROVER_SCAN", "0")
+    curve, pk, prover, vs, gammas = _setup("edwards25519", 8, 1)
+    gc = GOLDEN_CURVES["edwards25519"]
+    gpk = GPublicKey.new(gc, 8)
+    gprover = GRangeProver()
+    for v, g in zip(vs, gammas):
+        gprover.commit(gc, gpk, v, g)
+    proof = prove(curve, pk, 8, prover)
+    gproof = gprotocol.prove(gc, gpk, 8, gprover)
+    got = proof.to_golden(curve)
+    assert got.proof.L_vec == gproof.proof.L_vec
+    assert got.proof.R_vec == gproof.proof.R_vec
+    assert got.proof.A == gproof.proof.A
+    assert got.proof.B == gproof.proof.B
+    assert (got.proof.r_prime, got.proof.s_prime, got.proof.d_prime) == (
+        gproof.proof.r_prime, gproof.proof.s_prime, gproof.proof.d_prime)
+    verify(curve, proof, pk, 8, prover.commitment_vec)
+
+
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
 @pytest.mark.parametrize("n,m", [(8, 2)])
 def test_real_transcript_roundtrip(curve_name, n, m):
