@@ -1,4 +1,4 @@
 from .mesh import default_mesh
-from .sharded_msm import sharded_msm
+from .sharded_msm import sharded_msm, sharded_msm_rows
 
-__all__ = ["default_mesh", "sharded_msm"]
+__all__ = ["default_mesh", "sharded_msm", "sharded_msm_rows"]

@@ -46,6 +46,62 @@ def _sharded_msm_jit(curve, nbits: int, mesh: Mesh, axis: str):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_rows_jit(curve, nbits: int, mesh: Mesh):
+    local = _msm_jit(curve, nbits)
+
+    def per_device(scalars, points):
+        # scalars: (B/dp, N/tp, Ls); points: (B/dp, N/tp, C, L)
+        return local(scalars, points)[:, None]  # (B/dp, 1, C, L)
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("dp", "tp", None), P("dp", "tp", None, None)),
+        out_specs=P("dp", "tp", None, None),
+        check_vma=False,
+    )
+
+    def f(scalars, points):
+        partials = shard(scalars, points)  # (B, tp, C, L)
+        n = partials.shape[1]
+        while n > 1:
+            partials = curve.add(partials[:, : n // 2], partials[:, n // 2:])
+            n //= 2
+        return partials[:, 0]  # (B, C, L)
+
+    return jax.jit(f)
+
+
+def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
+                     nbits: int | None = None):
+    """B independent MSMs over a ("dp", "tp") mesh: row b's pairs live on
+    mesh row b mod dp, sharded over tp; returns (B, C, L) results.
+
+    The DP analogue for this domain (SURVEY.md §2 parallelism inventory):
+    independent proof groups over dp, one group's mega-MSM pairs over tp.
+    Rows pad to a dp multiple with zero-scalar rows (their MSM is the
+    identity); the pair axis pads per sharded_msm."""
+    nbits = nbits or curve.fn.order_bits
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    B, n = points.shape[0], points.shape[1]
+    per = _next_pow2(-(-n // tp))
+    total = per * tp
+    Bp = -(-B // dp) * dp
+    if total != n or Bp != B:
+        sc = jnp.zeros((Bp, total, scalars.shape[-1]), jnp.int32)
+        scalars = sc.at[:B, :n].set(scalars)
+        pp = jnp.broadcast_to(
+            jnp.asarray(curve.identity_np), (Bp, total, *points.shape[-2:])
+        )
+        points = pp.at[:B, :n].set(points)
+    scalars = jax.device_put(
+        scalars, NamedSharding(mesh, P("dp", "tp", None)))
+    points = jax.device_put(
+        points, NamedSharding(mesh, P("dp", "tp", None, None)))
+    return _sharded_msm_rows_jit(curve, nbits, mesh)(scalars, points)[:B]
+
+
 def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
                 nbits: int | None = None):
     """Σ scalars[i]·points[i] with the pair axis sharded over mesh[axis].

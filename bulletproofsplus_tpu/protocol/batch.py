@@ -67,6 +67,8 @@ def batch_verify(
                 for V in commitment_lists[1:])
             and len(commitment_lists[0]) > 1
         )
+    dp = (mesh.shape.get("dp", 1)
+          if mesh is not None and hasattr(mesh, "shape") else 1)
     if homogeneous:
         # ONE vmapped program computes every proof's exponent vectors, and
         # ONE weighted multiply + tree-reduce merges them (the per-proof
@@ -76,6 +78,12 @@ def batch_verify(
         )
         W = jnp.asarray(fn.encode([draw() for _ in range(K)]))  # (K, L)
         Wg = W[:, None, :]
+        if dp > 1 and K % dp == 0:
+            # DP x TP: fold the K proofs into dp group mega-MSMs instead of
+            # one — each group's pairs shard over the tp axis of its own
+            # mesh row, all dp rows run concurrently (SURVEY.md §2
+            # "data parallelism ≈ batch verification")
+            return _batch_verify_dp(curve, pk, inp, W, Wg, K, dp, mesh)
         G_exp = fn.sum(fn.mul(inp.G_exp, Wg), axis=0)
         H_exp = fn.sum(fn.mul(inp.H_exp, Wg), axis=0)
         g_exp = fn.sum(fn.mul(inp.g_exp, W), axis=0)
@@ -122,4 +130,38 @@ def batch_verify(
     else:
         expected = msm(curve, scalars, points)
     if not bool(curve.is_identity(expected)):
+        raise VerificationError("batch verification failed")
+
+
+def _batch_verify_dp(curve, pk, inp, W, Wg, K: int, dp: int, mesh) -> None:
+    """dp group mega-MSMs over a ("dp", "tp") mesh: the K weighted proofs
+    merge into dp groups of K/dp (each group still shares the pk-generator
+    terms), group b's MSM runs on mesh row b with its pair axis sharded
+    over tp. All dp results must be the identity."""
+    from ..parallel import sharded_msm_rows
+
+    fn = curve.fn
+    g = K // dp
+
+    def group_sum(x, w):  # (K, ..., L) → (dp, ..., L)
+        wx = fn.mul(x, w)
+        return fn.sum(wx.reshape(dp, g, *wx.shape[1:]), axis=1)
+
+    G_exp = group_sum(inp.G_exp, Wg)         # (dp, mn, L)
+    H_exp = group_sum(inp.H_exp, Wg)
+    g_exp = group_sum(inp.g_exp, W)          # (dp, L)
+    h_exp = group_sum(inp.h_exp, W)
+    u = inp.unique_scalars.shape[1]
+    uniq_s = fn.mul(inp.unique_scalars, Wg).reshape(dp, g * u, fn.L)
+    uniq_p = inp.unique_points.reshape(
+        dp, g * u, *inp.unique_points.shape[-2:])
+
+    scalars = jnp.concatenate(
+        [uniq_s, g_exp[:, None], h_exp[:, None], G_exp, H_exp], axis=1)
+    shared = jnp.concatenate(
+        [pk.g[None], pk.h[None], pk.G_vec, pk.H_vec], axis=0)
+    points = jnp.concatenate(
+        [uniq_p, jnp.broadcast_to(shared, (dp, *shared.shape))], axis=1)
+    expected = sharded_msm_rows(curve, fn.from_mont(scalars), points, mesh)
+    if not bool(jnp.all(curve.is_identity(expected))):
         raise VerificationError("batch verification failed")

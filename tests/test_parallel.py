@@ -77,6 +77,26 @@ def test_batch_verify_sharded(proof_batch):
     batch_verify(curve, pk, 8, proofs[:2], commits[:2], mesh=mesh)
 
 
+def test_batch_verify_dp_groups(proof_batch):
+    """dp>1: K proofs fold into dp group mega-MSMs, each sharded over its
+    mesh row's tp axis; a tampered proof in EITHER group must reject."""
+    import dataclasses
+
+    curve, pk, proofs, commits = proof_batch
+    mesh = default_mesh(8, dp=2)
+    batch_verify(curve, pk, 8, proofs[:2], commits[:2], mesh=mesh)
+
+    bad = list(proofs[:2])
+    bad[1] = dataclasses.replace(
+        bad[1],
+        proof=dataclasses.replace(
+            bad[1].proof, s_prime=jnp.asarray(curve.fn.encode(13371337))
+        ),
+    )
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, 8, bad, commits[:2], mesh=mesh)
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 
