@@ -181,3 +181,59 @@ def proof_from_bytes(curve, data: bytes):
             d_prime=jnp.asarray(scalars[2]),
         ),
     )
+
+
+def publickey_to_bytes(curve, pk) -> bytes:
+    """PublicKey → bytes: b"BPPK1" ‖ curve-name ‖ length:u32 ‖ g ‖ h ‖
+    G_vec ‖ H_vec (compressed points). Setup for large (n, m) costs
+    2·n·m + 2 scalar muls (publickey.rs:23-39) — persisting it makes setup
+    a one-time cost per deployment."""
+    name = curve.name.encode()
+    out = bytearray(b"BPPK1" + bytes([len(name)]) + name)
+    out += pk.length.to_bytes(4, "big")
+    out += point_bytes(curve, pk.g)
+    out += point_bytes(curve, pk.h)
+    for vec in (pk.G_vec, pk.H_vec):
+        for aff in curve.decode_points(vec):  # ONE device fetch per vector
+            out += point_bytes(curve, aff)
+    return bytes(out)
+
+
+def publickey_from_bytes(curve, data: bytes):
+    """Bytes → PublicKey (device arrays). Raises FormatError on malformed
+    input, wrong curve, or off-curve points."""
+    import jax.numpy as jnp
+
+    from .protocol.publickey import PublicKey
+
+    name = curve.name.encode()
+    head = b"BPPK1" + bytes([len(name)]) + name
+    if not data.startswith(head):
+        raise FormatError("not a public key for this curve")
+    off = len(head)
+    if len(data) < off + 4:
+        raise FormatError()
+    length = int.from_bytes(data[off : off + 4], "big")
+    off += 4
+    pl = point_len(curve)
+    if len(data) != off + (2 * length + 2) * pl:
+        raise FormatError()
+
+    def take():
+        nonlocal off
+        P = point_from_bytes(curve, data[off : off + pl])
+        off += pl
+        return P
+
+    g = take()
+    h = take()
+    G = [take() for _ in range(length)]
+    H = [take() for _ in range(length)]
+    enc = curve.encode_points([g, h] + G + H)
+    return PublicKey(
+        curve=curve,
+        g=jnp.asarray(enc[0]),
+        h=jnp.asarray(enc[1]),
+        G_vec=jnp.asarray(enc[2 : 2 + length]),
+        H_vec=jnp.asarray(enc[2 + length :]),
+    )
