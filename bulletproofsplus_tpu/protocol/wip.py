@@ -348,6 +348,17 @@ def _wip_prove_known_scan_prog(curve, n: int):
     return f
 
 
+def _prover_pallas() -> bool:
+    """Route the unrolled prover's >=1024-lane rounds through the
+    whole-ladder Pallas kernel (BPP_PROVER_PALLAS=1). Off by default until
+    validated on hardware — the same kernel already serves msm() in the
+    verifier and the vmapped batch setup program, but the prover's use
+    under vmap inside the unrolled program is new."""
+    import os
+
+    return os.environ.get("BPP_PROVER_PALLAS") == "1"
+
+
 def _wip_prove_known_unrolled_prog(curve, n: int):
     """The whole fold loop + finals as ONE compiled program with TRUE
     per-round shapes (the halving loop unrolled log2(n) times).
@@ -357,8 +368,18 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
     ladder point-ops than the true Σ(2·n̂+2 + 4·n̂) halving widths
     (measured 23.4 s → the fold dominates batch proving). Unrolling costs
     one larger compile (persistently cached) and does only the real work.
-    Same inputs/outputs as the scan program, byte-identical proofs."""
-    from ..msm.engine import _next_pow2, _scalar_mul_jit, _tree_sum_jit
+    Same inputs/outputs as the scan program, byte-identical proofs.
+
+    Point products route through msm()/the whole-ladder Pallas kernel for
+    rounds with >=1024 lanes (the same path the verifier and the batch
+    setup program take — Pallas-under-vmap is already exercised by the
+    setup MSM); small tail rounds use the XLA scan ladder."""
+    from ..msm.engine import (
+        _ladder_ok,
+        _next_pow2,
+        _scalar_mul_jit,
+        _tree_sum_jit,
+    )
 
     fn = curve.fn
     logn = n.bit_length() - 1
@@ -404,14 +425,18 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
                 jnp.concatenate([G1, H2, g[None], h[None]]),
             ])
             W = 2 * half + 2
-            WP = _next_pow2(W)
-            if WP != W:
-                S = jnp.concatenate(
-                    [S, jnp.zeros((2, WP - W, fn.L), jnp.int32)], axis=1)
-                P = jnp.concatenate(
-                    [P, jnp.broadcast_to(ident, (2, WP - W, *ident.shape))],
-                    axis=1)
-            LR = ts(sm(fn.from_mont(S), P))               # (2, C, L)
+            if _prover_pallas() and _ladder_ok(curve) and 2 * W >= 1024:
+                # msm() takes the whole-ladder Pallas path at this size
+                LR = msm(curve, fn.from_mont(S), P)       # (2, C, L)
+            else:
+                WP = _next_pow2(W)
+                if WP != W:
+                    S = jnp.concatenate(
+                        [S, jnp.zeros((2, WP - W, fn.L), jnp.int32)], axis=1)
+                    P = jnp.concatenate(
+                        [P, jnp.broadcast_to(ident, (2, WP - W, *ident.shape))],
+                        axis=1)
+                LR = ts(sm(fn.from_mont(S), P))           # (2, C, L)
             Ls.append(LR[0])
             Rs.append(LR[1])
 
@@ -424,7 +449,13 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
                 ))[:, None, :],
                 (4, half, fn.L),
             )
-            fg = sm(fs, jnp.stack([G1, G2, H1, H2]))
+            fp = jnp.stack([G1, G2, H1, H2])
+            if _prover_pallas() and _ladder_ok(curve) and 4 * half >= 1024:
+                from ..curves.pallas_curve import ladder_scalar_mul
+
+                fg = ladder_scalar_mul(curve, fs, fp, nbits)
+            else:
+                fg = sm(fs, fp)
             G = curve.add(fg[0], fg[1])
             H = curve.add(fg[2], fg[3])
             alpha = fn.add(
