@@ -1,0 +1,67 @@
+"""Error-taxonomy tests (reference errors.rs:14-50 via SURVEY.md §2.8).
+
+Argument validation raises the specific ProofError subclass from prove();
+verify() reports every failure as VerificationError (the reference's only
+actually-produced variant, range/mod.rs:508)."""
+import pytest
+
+from bulletproofsplus_tpu import (
+    PublicKey,
+    RangeProver,
+    VerificationError,
+    curve_ops,
+    prove,
+    verify,
+)
+from bulletproofsplus_tpu.errors import (
+    InvalidAggregation,
+    InvalidBitsize,
+    InvalidGeneratorsLength,
+    ProofError,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    curve = curve_ops("edwards25519")
+    pk = PublicKey.new(curve, 16)
+    prover = RangeProver()
+    prover.commit(pk, 2, 3)
+    prover.commit(pk, 5, 7)
+    return curve, pk, prover
+
+
+def test_invalid_bitsize(setup):
+    curve, pk, prover = setup
+    with pytest.raises(InvalidBitsize):
+        prove(curve, pk, 7, prover)  # n must be in {8, 16, 32, 64}
+    assert issubclass(InvalidBitsize, ProofError)
+
+
+def test_invalid_aggregation(setup):
+    curve, pk, _ = setup
+    prover = RangeProver()
+    for i in range(3):  # m=3 is not a power of two
+        prover.commit(pk, i + 1, i + 2)
+    with pytest.raises(InvalidAggregation):
+        prove(curve, pk, 8, prover)
+
+
+def test_invalid_generators_length(setup):
+    curve, pk, _ = setup
+    prover = RangeProver()
+    for i in range(4):  # needs 32 generators, pk has 16
+        prover.commit(pk, i + 1, i + 2)
+    with pytest.raises(InvalidGeneratorsLength):
+        prove(curve, pk, 8, prover)
+
+
+def test_verify_maps_everything_to_verification_error(setup):
+    curve, pk, prover = setup
+    proof = prove(curve, pk, 8, prover)
+    # bad n: surfaces as VerificationError, not InvalidBitsize
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, 7, prover.commitment_vec)
+    # commitment count mismatch
+    with pytest.raises(VerificationError):
+        verify(curve, proof, pk, 8, prover.commitment_vec[:1])
