@@ -60,12 +60,10 @@ def batch_verify(
     K = len(proofs)
 
     if isinstance(commitment_lists, jnp.ndarray):
-        homogeneous = commitment_lists.shape[1] > 1
+        homogeneous = True
     else:
-        homogeneous = (
-            all(len(V) == len(commitment_lists[0])
-                for V in commitment_lists[1:])
-            and len(commitment_lists[0]) > 1
+        homogeneous = all(
+            len(V) == len(commitment_lists[0]) for V in commitment_lists[1:]
         )
     dp = (mesh.shape.get("dp", 1)
           if mesh is not None and hasattr(mesh, "shape") else 1)

@@ -450,10 +450,12 @@ def stack_commitments(curve, commitment_lists) -> jnp.ndarray:
 def verification_inputs_batch(curve, proofs, pk, n, commitments,
                               transcripts):
     """Stacked verification inputs over a leading K axis for a HOMOGENEOUS
-    batch (same n and m>1 for every proof): per-proof host transcript
+    batch (same n and m for every proof): per-proof host transcript
     replay, then ONE vmapped device program computes every proof's exponent
     vectors (K sequential per-proof programs would be dispatch-bound on a
     remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64).
+    m=1 and m>1 use their respective verifier equations (e² vs e⁻² form,
+    range/mod.rs:189-238 vs :405-510) — both vmapped.
 
     proofs: a ProofBatch (zero re-stacking) or a sequence of RangeProof.
     commitments: (K, m, C, L) array or K per-proof commitment lists."""
@@ -503,7 +505,8 @@ def verification_inputs_batch(curve, proofs, pk, n, commitments,
         ess.append(es)
         efs.append(e)
 
-    vf = _vinputs_multiple_jit_vmap(curve, n, m)
+    vf = (_vinputs_single_jit_vmap(curve, n) if m == 1
+          else _vinputs_multiple_jit_vmap(curve, n, m))
     uniq_s, G_exp, H_exp, g_exp, h_exp = vf(
         jnp.asarray(fn.encode(ys)),
         jnp.asarray(fn.encode(zs)),
@@ -511,9 +514,14 @@ def verification_inputs_batch(curve, proofs, pk, n, commitments,
         jnp.asarray(fn.encode(efs)),
         batch.r_prime, batch.s_prime, batch.d_prime,
     )
+    if m == 1:
+        # single verifier pairs [1, e, e²] with [B, A_wip, A] (wip:365-372)
+        head = [batch.B[:, None], batch.A_wip[:, None], batch.A[:, None]]
+    else:
+        # aggregated pairs [1, e⁻¹, e⁻²] with [A, A_wip, B]
+        head = [batch.A[:, None], batch.A_wip[:, None], batch.B[:, None]]
     uniq_p = jnp.concatenate(
-        [batch.A[:, None], batch.A_wip[:, None], batch.B[:, None],
-         batch.L_vec, batch.R_vec, V_all], axis=1
+        head + [batch.L_vec, batch.R_vec, V_all], axis=1
     )
     return VerificationInputs(
         unique_scalars=uniq_s,   # (K, k, L)
@@ -760,6 +768,87 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
         return unique_scalars, G_exp, H_exp, g_exp, h_exp
 
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _vinputs_single_prog(curve, n: int):
+    """Single-proof (m=1) exponent-vector program with the same pure
+    (y, z, challenges, e, r', s', d') signature as the aggregated one — so
+    m=1 batches get the one-vmapped-program treatment too (BASELINE config
+    1 is m=1). Mirrors _verification_inputs_single + _wip_verification_
+    inputs (range/mod.rs:189-238, wip:238-328; the e²-multiplied equation,
+    unlike the aggregated verifier's e⁻² form)."""
+    fn = curve.fn
+    logn = n.bit_length() - 1
+    two_pows_np = fn.encode([pow(2, i, fn.p) for i in range(n)])
+    sum2_np = fn.encode((pow(2, n, fn.p) - 1) % fn.p)
+    sbit = np.stack(
+        [(np.arange(n) >> j) & 1 for j in range(logn)], axis=0
+    ).astype(bool)
+
+    def f(y_m, z_m, challenges, e, r_prime, s_prime, d_prime):
+        power_of_two = jnp.asarray(two_pows_np)
+        power_of_y_all = fn.powers_type2(y_m, n + 1)
+        power_of_y = power_of_y_all[:n]
+        power_of_y_rev = power_of_y[::-1]
+        V_exp_comm = power_of_y_all[n]          # y^{n+1}
+        z_sqr = fn.mul(z_m, z_m)
+        G_exp_comm = jnp.broadcast_to(fn.neg(z_m), (n, fn.L))
+        H_exp_comm = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)
+        g_exp_comm = fn.sub(
+            fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr)),
+            fn.mul(fn.mul(jnp.asarray(sum2_np), V_exp_comm), z_m),
+        )
+
+        # verification_scalars device math (wip:330-382)
+        allinv, challenges_inv = fn.batch_invert(challenges)
+        challenges_sqr = fn.mul(challenges, challenges)
+        challenges_inv_sqr = fn.mul(challenges_inv, challenges_inv)
+        s_vec = jnp.broadcast_to(allinv, (n, fn.L))
+        for j in range(logn):
+            s_vec = fn.select(
+                jnp.asarray(sbit[j]),
+                fn.mul(s_vec, challenges_sqr[logn - 1 - j]),
+                s_vec,
+            )
+        s_prime_vec = s_vec[::-1]
+
+        e_sqr = fn.mul(e, e)
+        r_prime_e_y = fn.mul(fn.mul(r_prime, e), y_m)
+        s_prime_e = fn.mul(s_prime, e)
+        Ls_exp = fn.mul(challenges_sqr, e_sqr)
+        Rs_exp = fn.mul(challenges_inv_sqr, e_sqr)
+
+        y_inv = fn.inv(y_m)
+        pow_y_inv = fn.powers_type2(y_inv, n)
+        G_exp = fn.sub(
+            fn.mul(G_exp_comm, e_sqr),
+            fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_y),
+        )
+        H_exp = fn.sub(
+            fn.mul(H_exp_comm, e_sqr), fn.mul(s_prime_vec, s_prime_e))
+        g_exp = fn.add(
+            fn.neg(fn.mul(fn.mul(r_prime, y_m), s_prime)),
+            fn.mul(g_exp_comm, e_sqr),
+        )
+        h_exp = fn.neg(d_prime)
+        V_exp = fn.mul(V_exp_comm, e_sqr)
+
+        one_m = jnp.asarray(fn.one_np)
+        unique_scalars = jnp.concatenate(
+            [one_m[None], e[None], e_sqr[None], Ls_exp, Rs_exp,
+             V_exp[None]], axis=0
+        )
+        return unique_scalars, G_exp, H_exp, g_exp, h_exp
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _vinputs_single_jit_vmap(curve, n: int):
+    import jax
+
+    return jax.jit(jax.vmap(_vinputs_single_prog(curve, n)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -68,7 +68,15 @@ def test_batch_prove_known_challenges_matches_prove():
 
     commits = stack_commitments(
         curve, [p.commitment_vec for p in provers])
+    # m=1 takes the vmapped single-verifier path (e² equation form)
     batch_verify(curve, pk, n, pbatch, commits)
+    bad = dataclasses.replace(
+        pbatch,
+        r_prime=pbatch.r_prime.at[0].set(
+            jnp.asarray(curve.fn.encode(31337))),
+    )
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, n, bad, commits)
 
 
 def test_batch_prove_interactive_sha_matches_prove():
