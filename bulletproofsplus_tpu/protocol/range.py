@@ -336,7 +336,81 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
     return RangeProof(A=A, proof=wip)
 
 
+def _replay_challenges(curve, proof, m, logn, commitment_vec, transcript):
+    """Host-side Fiat-Shamir replay shared by every verify path. Returns
+    (y, z, es, e) as ints; raises VerificationError on zero challenges."""
+    fn = curve.fn
+    wproof = proof.proof
+    y, z = transcript.challenge_yz(curve, list(commitment_vec), proof.A)
+    es = [
+        transcript.round_challenge(
+            curve, wproof.L_vec[i], wproof.R_vec[i]) % fn.p
+        for i in range(logn)
+    ]
+    e = transcript.final_challenge(curve, wproof.A, wproof.B) % fn.p
+    if any(c == 0 for c in es) or e == 0 or y % fn.p == 0 or z % fn.p == 0:
+        raise VerificationError()
+    return y, z, es, e
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_fused_jit(curve, n: int, m: int):
+    """The ENTIRE verification after transcript replay as ONE compiled
+    program: exponent vectors + the single mega-MSM + the identity check
+    (range/mod.rs:479-509). Eagerly this is ~5 dispatches (exponent
+    program, concats, MSM canonicalization, identity) — on a remote TPU
+    backend each costs ~0.1 s of latency; fused it is one."""
+    import jax
+
+    base = (_vinputs_single_prog(curve, n) if m == 1
+            else _vinputs_multiple_jit(curve, n, m))
+    fn = curve.fn
+
+    def f(y, z, es, e, rp, sp, dp_, A, Aw, B, L, R, V, g, h, G_vec, H_vec):
+        uniq_s, G_exp, H_exp, g_exp, h_exp = base(y, z, es, e, rp, sp, dp_)
+        if m == 1:
+            head_p = [B[None], Aw[None], A[None]]   # pairs [1, e, e²]
+        else:
+            head_p = [A[None], Aw[None], B[None]]   # pairs [1, e⁻¹, e⁻²]
+        scalars = jnp.concatenate(
+            [uniq_s, g_exp[None], h_exp[None], G_exp, H_exp], axis=0)
+        points = jnp.concatenate(
+            head_p + [L, R, V, g[None], h[None], G_vec, H_vec], axis=0)
+        out = msm(curve, fn.from_mont(scalars), points)
+        return curve.is_identity(out)
+
+    return jax.jit(f)
+
+
+def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
+    fn = curve.fn
+    mn = n * m
+    wproof = proof.proof
+    logn = wproof.rounds
+    if mn != (1 << logn):
+        raise VerificationError()
+    y, z, es, e = _replay_challenges(
+        curve, proof, m, logn, commitment_vec, transcript)
+    ok = _verify_fused_jit(curve, n, m)(
+        jnp.asarray(fn.encode(y)),
+        jnp.asarray(fn.encode(z)),
+        jnp.asarray(fn.encode(es)),
+        jnp.asarray(fn.encode(e)),
+        wproof.r_prime, wproof.s_prime, wproof.d_prime,
+        proof.A, wproof.A, wproof.B, wproof.L_vec, wproof.R_vec,
+        jnp.stack(list(commitment_vec)), pk.g, pk.h,
+        pk.G_vec[:mn], pk.H_vec[:mn],
+    )
+    if not bool(ok):
+        raise VerificationError()
+
+
 def _verify_single(curve, proof, pk, n, commitment, transcript):
+    from .wip import _fuse_ok
+
+    if _fuse_ok():
+        _verify_fused(curve, proof, pk, n, 1, [commitment], transcript)
+        return
     inputs = _verification_inputs_single(curve, proof, pk, n, commitment,
                                          transcript)
     _check_identity_msm(curve, pk, inputs)
@@ -681,6 +755,11 @@ def _prove_setup_multiple_jit(curve, n: int, m: int):
 
 
 def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):
+    from .wip import _fuse_ok
+
+    if _fuse_ok():
+        _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript)
+        return
     inputs = _verification_inputs_multiple(
         curve, proof, pk, n, m, commitment_vec, transcript
     )

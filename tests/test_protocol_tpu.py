@@ -140,6 +140,31 @@ def test_unrolled_prover_bit_exact(monkeypatch):
     verify(curve, proof, pk, 8, prover.commitment_vec)
 
 
+@pytest.mark.parametrize("m", [1, 2])
+def test_fused_verify_matches_eager(monkeypatch, m):
+    """The one-program fused verifier (TPU default; ~5 dispatches fused
+    into 1) must accept exactly what the eager path accepts and reject
+    tampering, for both the single (e²) and aggregated (e⁻²) equation
+    forms. BPP_FUSE_PROVER=1 forces the fused path on CPU."""
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    curve, pk, prover, _, _ = _setup("edwards25519", 8, m)
+    proof = prove(curve, pk, 8, prover)
+    verify(curve, proof, pk, 8, prover.commitment_vec)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    bad = dataclasses.replace(
+        proof,
+        proof=dataclasses.replace(
+            proof.proof, r_prime=jnp.asarray(curve.fn.encode(424242))
+        ),
+    )
+    with pytest.raises(VerificationError):
+        verify(curve, bad, pk, 8, prover.commitment_vec)
+
+
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
 @pytest.mark.parametrize("n,m", [(8, 2)])
 def test_real_transcript_roundtrip(curve_name, n, m):
