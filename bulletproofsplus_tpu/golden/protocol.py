@@ -371,6 +371,7 @@ def prove(
     rng=None,
 ) -> RangeProof:
     m = len(prover.v_vec)
+    pk = _pk_prefix(pk, n * m)
     transcript = transcript or DeterministicTranscript(m)
     rng = rng or DeterministicRng(m)
     if m == 1:
@@ -393,11 +394,22 @@ def verify(
     transcript=None,
 ) -> None:
     m = len(commitment_vec)
+    pk = _pk_prefix(pk, n * m)
     transcript = transcript or DeterministicTranscript(m)
     if m == 1:
         _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
     else:
         _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript)
+
+
+def _pk_prefix(pk: PublicKey, mn: int) -> PublicKey:
+    """The reference accepts generator sets LONGER than n·m (only shorter
+    is an error, errors.rs:37-41 InvalidGeneratorsLength) and uses the
+    first n·m generators; mirror that by slicing a prefix view."""
+    if len(pk.G_vec) == mn:
+        return pk
+    return PublicKey(g=pk.g, h=pk.h,
+                     G_vec=pk.G_vec[:mn], H_vec=pk.H_vec[:mn])
 
 
 def _bit_decompose(v: Sequence[int], n: int, m: int) -> List[int]:

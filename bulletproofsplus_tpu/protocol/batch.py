@@ -58,6 +58,12 @@ def batch_verify(
     transcripts = transcripts or [None] * len(proofs)
     draw = rng or (lambda: secrets.randbits(128))
     K = len(proofs)
+    from .range import pk_prefix
+
+    m0 = (commitment_lists.shape[1]
+          if isinstance(commitment_lists, jnp.ndarray)
+          else len(commitment_lists[0]))
+    pk = pk_prefix(pk, n * m0)
 
     if isinstance(commitment_lists, jnp.ndarray):
         homogeneous = True

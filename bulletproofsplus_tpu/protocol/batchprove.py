@@ -132,6 +132,9 @@ def batch_prove(
             for i, p in enumerate(provers)
         ]
     _validate(pk, n, m)
+    from .range import pk_prefix
+
+    pk = pk_prefix(pk, n * m)
     transcripts = (list(transcripts) if transcripts
                    else [DeterministicTranscript(m) for _ in range(K)])
     rngs = list(rngs) if rngs else [DeterministicRng(m) for _ in range(K)]

@@ -165,6 +165,16 @@ def _validate(pk, n: int, m: int) -> None:
         raise InvalidGeneratorsLength()
 
 
+def pk_prefix(pk: PublicKey, mn: int) -> PublicKey:
+    """The reference accepts generator sets LONGER than n·m (only shorter
+    errors, errors.rs:37-41) and uses the first n·m generators; slice a
+    prefix view accordingly."""
+    if pk.length == mn:
+        return pk
+    return PublicKey(curve=pk.curve, g=pk.g, h=pk.h,
+                     G_vec=pk.G_vec[:mn], H_vec=pk.H_vec[:mn])
+
+
 def prove(
     curve,
     pk: PublicKey,
@@ -175,6 +185,7 @@ def prove(
 ) -> RangeProof:
     m = len(prover.v_vec)
     _validate(pk, n, m)
+    pk = pk_prefix(pk, n * m)
     transcript = transcript or DeterministicTranscript(m)
     rng = rng or DeterministicRng(m)
     if m == 1:
@@ -209,6 +220,7 @@ def verify(
         # the reference's verify reports every failure as VerificationError
         # (SURVEY.md §2.8: the only variant actually produced)
         raise VerificationError(str(exc) or "invalid arguments")
+    pk = pk_prefix(pk, n * m)
     transcript = transcript or DeterministicTranscript(m)
     if m == 1:
         _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
@@ -444,6 +456,7 @@ def verification_inputs(curve, proof, pk, n, commitment_vec, transcript=None):
     """One proof's verification-MSM inputs (for batch verification)."""
     commitment_vec = list(commitment_vec)
     m = len(commitment_vec)
+    pk = pk_prefix(pk, n * m)
     transcript = transcript or DeterministicTranscript(m)
     if m == 1:
         return _verification_inputs_single(

@@ -56,6 +56,33 @@ def test_invalid_generators_length(setup):
         prove(curve, pk, 8, prover)
 
 
+def test_oversized_pk_accepted(setup):
+    """The reference only errors when the generator set is SHORTER than
+    n·m (errors.rs:37-41); a longer pk uses the first n·m generators.
+    Proofs under an oversized pk must be byte-identical to exact-size ones
+    (same generator prefix)."""
+    curve, pk, prover = setup  # pk has 16 generators
+    proof_big = prove(curve, pk, 8, prover)  # m=2 → needs 16 (exact here)
+
+    pk8 = PublicKey(curve=pk.curve, g=pk.g, h=pk.h,
+                    G_vec=pk.G_vec, H_vec=pk.H_vec)  # 16 gens, m=1 needs 8
+    p1 = RangeProver()
+    p1.commit(pk8, 200, 7)
+    proof = prove(curve, pk8, 8, p1)  # oversized: 16 > 8
+    verify(curve, proof, pk8, 8, p1.commitment_vec)
+
+    # identical bytes to a proof under the exact-size pk prefix
+    from bulletproofsplus_tpu.protocol.range import pk_prefix
+
+    pk_exact = pk_prefix(pk8, 8)
+    p2 = RangeProver()
+    p2.commit(pk_exact, 200, 7)
+    want = prove(curve, pk_exact, 8, p2)
+    assert (proof.to_golden(curve).proof.r_prime
+            == want.to_golden(curve).proof.r_prime)
+    assert proof.to_golden(curve).A == want.to_golden(curve).A
+
+
 def test_verify_maps_everything_to_verification_error(setup):
     curve, pk, prover = setup
     proof = prove(curve, pk, 8, prover)
