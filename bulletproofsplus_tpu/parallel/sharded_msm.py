@@ -102,6 +102,52 @@ def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
     return _sharded_msm_rows_jit(curve, nbits, mesh)(scalars, points)[:B]
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fixed_msm_jit(curve, nbits: int, mesh: Mesh, axis: str):
+    from ..msm.fixed import _fixed_msm_jit
+
+    local = _fixed_msm_jit(curve, nbits)
+
+    def per_device(scalars, table):
+        # scalars: (N/ndev, Ls); table: (2^c, nwin, N/ndev, C, L)
+        return local(scalars, table)[None]  # (1, C, L)
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None, axis, None, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+
+    def f(scalars, table):
+        partials = shard(scalars, table)  # (ndev, C, L)
+        n = partials.shape[0]
+        while n > 1:
+            partials = curve.add(partials[: n // 2], partials[n // 2 :])
+            n //= 2
+        return partials[0]
+
+    return jax.jit(f)
+
+
+def sharded_fixed_msm(curve, scalars, table, mesh: Mesh, axis: str = "tp",
+                      nbits: int | None = None):
+    """Fixed-base MSM (msm/fixed.py) with the table's base-point axis sharded
+    over mesh[axis]: each device looks up + tree-adds its own generator
+    slice, the ndev partials combine with log2(ndev) point adds. The fixed
+    lanes' N is the pk generator count (a power of two for power-of-two mn),
+    so the axis must divide N evenly — callers pad the pk, not this fn."""
+    nbits = nbits or curve.fn.order_bits
+    ndev = mesh.shape[axis]
+    if table.shape[2] % ndev or scalars.shape[0] != table.shape[2]:
+        raise ValueError("table point axis must divide the mesh axis")
+    scalars = jax.device_put(scalars, NamedSharding(mesh, P(axis, None)))
+    table = jax.device_put(
+        table, NamedSharding(mesh, P(None, None, axis, None, None)))
+    return _sharded_fixed_msm_jit(curve, nbits, mesh, axis)(scalars, table)
+
+
 def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
                 nbits: int | None = None):
     """Σ scalars[i]·points[i] with the pair axis sharded over mesh[axis].

@@ -126,12 +126,43 @@ def batch_verify(
         g_exp=g_exp,
         h_exp=h_exp,
     )
-    scalars, points = combined.msm_inputs(pk)
-    if mesh is not None:
-        from ..parallel import sharded_msm
+    from ..msm.fixed import fixed_base_enabled, fixed_msm
 
-        expected = sharded_msm(curve, scalars, points, mesh)
+    if mesh is not None:
+        from ..parallel import sharded_fixed_msm, sharded_msm
+
+        tp = (mesh.shape.get("tp", 1) if hasattr(mesh, "shape") else 1)
+        mn = G_exp.shape[0]
+        if fixed_base_enabled() and (2 * mn) % max(tp, 1) == 0:
+            # generator lanes on sharded fixed-base tables (table point axis
+            # over tp), proof-specific lanes on the sharded ladder
+            var_s = jnp.concatenate(
+                [uniq_s, g_exp[None], h_exp[None]], axis=0)
+            var_p = jnp.concatenate(
+                [uniq_p, pk.g[None], pk.h[None]], axis=0)
+            fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+            expected = curve.add(
+                sharded_msm(curve, fn.from_mont(var_s), var_p, mesh),
+                sharded_fixed_msm(curve, fn.from_mont(fixed_s),
+                                  pk.fixed_tables(mn), mesh),
+            )
+        else:
+            scalars, points = combined.msm_inputs(pk)
+            expected = sharded_msm(curve, scalars, points, mesh)
+    elif fixed_base_enabled():
+        # the 2mn shared-generator lanes run on the precomputed fixed-base
+        # tables; only the K·(2·log(mn)+m+3)+2 proof-specific lanes ladder
+        var_s = jnp.concatenate(
+            [uniq_s, g_exp[None], h_exp[None]], axis=0)
+        var_p = jnp.concatenate([uniq_p, pk.g[None], pk.h[None]], axis=0)
+        fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+        expected = curve.add(
+            msm(curve, fn.from_mont(var_s), var_p),
+            fixed_msm(curve, fn.from_mont(fixed_s),
+                      pk.fixed_tables(G_exp.shape[0])),
+        )
     else:
+        scalars, points = combined.msm_inputs(pk)
         expected = msm(curve, scalars, points)
     if not bool(curve.is_identity(expected)):
         raise VerificationError("batch verification failed")

@@ -67,6 +67,20 @@ class PublicKey:
     def length(self) -> int:
         return self.G_vec.shape[0]
 
+    def fixed_tables(self, mn: int) -> jnp.ndarray:
+        """Cached fixed-base window tables for [G_vec[:mn] ‖ H_vec[:mn]]
+        (msm/fixed.py): one-time per (pk, mn), reused by every subsequent
+        verification over this generator set."""
+        cache = self.__dict__.setdefault("_fb_tables", {})
+        t = cache.get(mn)
+        if t is None:
+            from ..msm.fixed import precompute_tables
+
+            pts = jnp.concatenate([self.G_vec[:mn], self.H_vec[:mn]], axis=0)
+            t = precompute_tables(self.curve, pts)
+            cache[mn] = t
+        return t
+
     def commitment(self, v: int, gamma: int) -> jnp.ndarray:
         """Pedersen commitment g·v + h·gamma (publickey.rs:50-52).
 

@@ -394,6 +394,37 @@ def _verify_fused_jit(curve, n: int, m: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _verify_fused_fb_jit(curve, n: int, m: int):
+    """_verify_fused_jit with the 2mn fixed generator lanes routed through
+    the precomputed fixed-base tables (msm/fixed.py) instead of the ladder:
+    only the ~2·log2(mn)+m+5 proof-specific lanes run full scalar-muls."""
+    import jax
+
+    from ..msm.fixed import fixed_msm
+
+    base = (_vinputs_single_prog(curve, n) if m == 1
+            else _vinputs_multiple_jit(curve, n, m))
+    fn = curve.fn
+
+    def f(y, z, es, e, rp, sp, dp_, A, Aw, B, L, R, V, g, h, table):
+        uniq_s, G_exp, H_exp, g_exp, h_exp = base(y, z, es, e, rp, sp, dp_)
+        if m == 1:
+            head_p = [B[None], Aw[None], A[None]]   # pairs [1, e, e²]
+        else:
+            head_p = [A[None], Aw[None], B[None]]   # pairs [1, e⁻¹, e⁻²]
+        var_s = jnp.concatenate([uniq_s, g_exp[None], h_exp[None]], axis=0)
+        var_p = jnp.concatenate(head_p + [L, R, V, g[None], h[None]], axis=0)
+        fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+        out = curve.add(
+            msm(curve, fn.from_mont(var_s), var_p),
+            fixed_msm(curve, fn.from_mont(fixed_s), table),
+        )
+        return curve.is_identity(out)
+
+    return jax.jit(f)
+
+
 def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
     fn = curve.fn
     mn = n * m
@@ -403,7 +434,9 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
         raise VerificationError()
     y, z, es, e = _replay_challenges(
         curve, proof, m, logn, commitment_vec, transcript)
-    ok = _verify_fused_jit(curve, n, m)(
+    from ..msm.fixed import fixed_base_enabled
+
+    head = (
         jnp.asarray(fn.encode(y)),
         jnp.asarray(fn.encode(z)),
         jnp.asarray(fn.encode(es)),
@@ -411,8 +444,12 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
         wproof.r_prime, wproof.s_prime, wproof.d_prime,
         proof.A, wproof.A, wproof.B, wproof.L_vec, wproof.R_vec,
         jnp.stack(list(commitment_vec)), pk.g, pk.h,
-        pk.G_vec[:mn], pk.H_vec[:mn],
     )
+    if fixed_base_enabled():
+        ok = _verify_fused_fb_jit(curve, n, m)(*head, pk.fixed_tables(mn))
+    else:
+        ok = _verify_fused_jit(curve, n, m)(
+            *head, pk.G_vec[:mn], pk.H_vec[:mn])
     if not bool(ok):
         raise VerificationError()
 

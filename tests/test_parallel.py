@@ -34,6 +34,46 @@ def test_sharded_msm_matches_plain():
     assert curve.decode_point(got) == gc.msm(ks, pts)
 
 
+def test_sharded_fixed_msm_matches_plain():
+    from bulletproofsplus_tpu.msm.fixed import precompute_tables
+    from bulletproofsplus_tpu.parallel import sharded_fixed_msm
+
+    curve = curve_ops("edwards25519")
+    gc = golden_curve("edwards25519")
+    rng = random.Random(11)
+    N = 16  # table point axis must divide the mesh axis evenly
+    pts = [gc.mul(gc.base(), rng.randrange(1, gc.fn.p)) for _ in range(N)]
+    ks = [rng.randrange(gc.fn.p) for _ in range(N)]
+    P = jnp.asarray(curve.encode_points(pts))
+    s = jnp.asarray(curve.fn.encode_plain(ks))
+
+    table = precompute_tables(curve, P)
+    mesh = default_mesh(8, dp=1)
+    got = sharded_fixed_msm(curve, s, table, mesh)
+    assert curve.decode_point(got) == gc.msm(ks, pts)
+
+
+def test_batch_verify_sharded_fixed_base(proof_batch, monkeypatch):
+    """The mesh path with fixed-base tables enabled (tp-sharded tables)
+    accepts good proofs and rejects corrupted ones."""
+    import dataclasses
+
+    curve, pk, proofs, commits = proof_batch
+    monkeypatch.setenv("BPP_FIXED_BASE", "1")
+    mesh = default_mesh(8, dp=1)
+    batch_verify(curve, pk, 8, proofs[:2], commits[:2], mesh=mesh)
+
+    bad = list(proofs[:2])
+    bad[0] = dataclasses.replace(
+        bad[0],
+        proof=dataclasses.replace(
+            bad[0].proof, d_prime=jnp.asarray(curve.fn.encode(24682468))
+        ),
+    )
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, 8, bad, commits[:2], mesh=mesh)
+
+
 @pytest.fixture(scope="module")
 def proof_batch():
     """Three (n=8, m=2) proofs over one pk, built once and shared by every
