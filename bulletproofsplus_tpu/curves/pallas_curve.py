@@ -162,20 +162,31 @@ def _ladder_call(curve, nbits: int, interpret=False):
                tbl_ref):
         from jax.experimental import pallas as pl
 
+        from ..fields.pallas_ops import LazyVal
+
         f = LimbMajorField(spec, p_ref[...], np_ref[...])
-        one = one_ref[...]
-        cst = cst_ref[...]
-        zero = jnp.zeros_like(one)
+        # Stored coords obey the store invariant: pb ≤ PB_STORE (the worst
+        # output bound of this family's formulas under lazy reduction:
+        # Edwards coords are mul-outs < 2p; Weierstrass X3/Y3/Z3 are
+        # adds/subs of mul-outs < 4p), limbs near-canonical.
+        pb_store = (2 if NC == 4 else 4) if f.lazy else 1
+        one = f.wrap(one_ref[...], 1)
+        cst = f.wrap(cst_ref[...], 1)
+        zero = LazyVal(one.t * 0, 0, 0, 0)
         ident = ident_fn(zero, one)
-        P = _unpack(pts_ref[...], L, NC)
+        P = tuple(f.wrap(c, 1) for c in _unpack(pts_ref[...], L, NC))
 
         def padded(P_t):
-            a = _pack(P_t)
+            a = jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in P_t], axis=0)
             if CCP == CC:
                 return a
             return jnp.concatenate(
                 [a, jnp.zeros((CCP - CC, a.shape[1]), a.dtype)], axis=0
             )
+
+        def unpack_w(a):
+            return tuple(f.load(c, pb_store) for c in _unpack(a, L, NC))
 
         # table[k] = k·P at rows [k·CCP, k·CCP + CC). Built with a fori_loop
         # — one add graph in the compiled kernel instead of 14 (Mosaic
@@ -184,11 +195,12 @@ def _ladder_call(curve, nbits: int, interpret=False):
         tbl_ref[CCP : 2 * CCP, :] = padded(P)
 
         def tstep(k, prev):
-            nxt = add(f, _unpack(prev, L, NC), P, cst)
-            tbl_ref[pl.ds(k * CCP, CCP), :] = padded(nxt)
-            return _pack(nxt)
+            nxt = add(f, unpack_w(prev), P, cst)
+            out = padded(nxt)
+            tbl_ref[pl.ds(k * CCP, CCP), :] = out
+            return out[:CC]
 
-        lax.fori_loop(2, nent, tstep, _pack(P))
+        lax.fori_loop(2, nent, tstep, padded(P)[:CC])
 
         def lookup(dig):
             # select tree over the 16 table entries: static ref slices +
@@ -202,20 +214,28 @@ def _ladder_call(curve, nbits: int, interpret=False):
                 bit = (dig >> level) & 1
                 sel = jnp.where(bit != 0, sel[half * CCP :, :],
                                 sel[: half * CCP, :])
-            return _unpack(sel[:CC], L, NC)
+            return unpack_w(sel[:CC])
 
         def body(w, acc_packed):
             # WINDOW doublings as an inner fori_loop: one dbl graph
-            acc_packed = lax.fori_loop(
-                0, WINDOW,
-                lambda _, a: _pack(dbl(f, _unpack(a, L, NC), cst)),
-                acc_packed,
-            )
-            dig = dig_ref[pl.ds(nwin - 1 - w, 1), :]  # MSB-first
-            acc = add(f, _unpack(acc_packed, L, NC), lookup(dig), cst)
-            return _pack(acc)
+            def dbl_step(_, a):
+                nxt = dbl(f, unpack_w(a), cst)
+                return jnp.concatenate(
+                    [f.store_norm(c, pb_store) for c in nxt], axis=0)
 
-        o_ref[...] = lax.fori_loop(0, nwin, body, _pack(ident))
+            acc_packed = lax.fori_loop(0, WINDOW, dbl_step, acc_packed)
+            dig = dig_ref[pl.ds(nwin - 1 - w, 1), :]  # MSB-first
+            acc = add(f, unpack_w(acc_packed), lookup(dig), cst)
+            return jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in acc], axis=0)
+
+        acc0 = jnp.concatenate(
+            [f.store_norm(c, pb_store) for c in ident], axis=0)
+        out = lax.fori_loop(0, nwin, body, acc0)
+        # kernel output is exact canonical (< p): byte-identical to the XLA
+        # curve-op path downstream (tree_sum, is_identity, decode)
+        o_ref[...] = jnp.concatenate(
+            [f.canon(c).t for c in unpack_w(out)], axis=0)
 
     @jax.jit
     def run(pts_t, digits_t):  # (NC·L, N), (nwin, N); N multiple of BLOCK
@@ -245,6 +265,141 @@ def _ladder_call(curve, nbits: int, interpret=False):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _fixed_lookup_call(curve, interpret=False):
+    """Fixed-base MSM kernel: per grid step, select each lane's table entry
+    (4-level tree over the 16 precomputed multiples, VMEM-resident) and add
+    it into a (CC, BLOCK) accumulator that revisits the same output block
+    every step (TPU grids are sequential). HBM traffic is exactly one pass
+    over the table; the XLA select-tree path re-materializes every tree
+    level (~3x the table) plus the nwin·N selected points.
+
+    Lanes are (window, point) pairs; the caller tree-sums the BLOCK partial
+    points. Final step canonicalizes (exact < p) for XLA-path parity."""
+    from jax.experimental import pallas as pl
+
+    spec = curve.fp.spec
+    L = spec.num_limbs
+    NC, add, _dbl, const_np, ident_fn = _family(curve)
+    CC = NC * L
+    CCP = -(-CC // 8) * 8
+    nent = 1 << WINDOW
+
+    def kernel(p_ref, np_ref, one_ref, cst_ref, tbl_ref, dig_ref, o_ref):
+        from ..fields.pallas_ops import LazyVal
+
+        f = LimbMajorField(spec, p_ref[...], np_ref[...])
+        pb_store = (2 if NC == 4 else 4) if f.lazy else 1
+        one = f.wrap(one_ref[...], 1)
+        cst = f.wrap(cst_ref[...], 1)
+        zero = LazyVal(one.t * 0, 0, 0, 0)
+        ident = ident_fn(zero, one)
+
+        i = pl.program_id(0)
+        dig = dig_ref[...]  # (1, BLOCK)
+        half = nent // 2
+        lo = tbl_ref[0 : half * CCP, :]
+        hi = tbl_ref[half * CCP : nent * CCP, :]
+        sel = jnp.where(((dig >> (WINDOW - 1)) & 1) != 0, hi, lo)
+        for level in range(WINDOW - 2, -1, -1):
+            half //= 2
+            bit = (dig >> level) & 1
+            sel = jnp.where(bit != 0, sel[half * CCP :, :],
+                            sel[: half * CCP, :])
+        chosen = tuple(f.wrap(c, 1) for c in _unpack(sel[:CC], L, NC))
+
+        # accumulator: identity on the first step (o_ref holds garbage),
+        # else the loose stored partial from the previous step
+        ident_packed = jnp.concatenate(
+            [f.store_norm(c, pb_store) for c in ident], axis=0)
+        acc_t = jnp.where(i == 0, ident_packed, o_ref[...])
+        acc = tuple(f.load(c, pb_store) for c in _unpack(acc_t, L, NC))
+        nxt = add(f, acc, chosen, cst)
+
+        is_last = i == pl.num_programs(0) - 1
+
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            o_ref[...] = jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in nxt], axis=0)
+
+        @pl.when(is_last)
+        def _():
+            o_ref[...] = jnp.concatenate(
+                [f.canon(c).t for c in nxt], axis=0)
+
+    @jax.jit
+    def run(tbl2, digits2):  # (nent·CCP, lanes), (1, lanes)
+        lanes = tbl2.shape[1]
+        fp = curve.fp
+
+        def bc(arr_np):
+            return jnp.broadcast_to(
+                jnp.asarray(np.asarray(arr_np))[:, None], (L, BLOCK)
+            )
+
+        consts = [bc(spec.p_limbs), bc(spec.nprime_limbs), bc(fp.one_np),
+                  bc(const_np)]
+        cspec = pl.BlockSpec((L, BLOCK), lambda i: (0, 0))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((CC, BLOCK), tbl2.dtype),
+            grid=(lanes // BLOCK,),
+            in_specs=[cspec, cspec, cspec, cspec,
+                      pl.BlockSpec((nent * CCP, BLOCK), lambda i: (0, i)),
+                      pl.BlockSpec((1, BLOCK), lambda i: (0, i))],
+            out_specs=pl.BlockSpec((CC, BLOCK), lambda i: (0, 0)),
+            interpret=interpret,
+        )(*consts, tbl2, digits2)
+
+    return run
+
+
+def fixed_table_kernel_layout(curve, table):
+    """(2^c, nwin, N, C, L) window table → the lookup kernel's 2D layout
+    (2^c·CCP, nwin·N) with lanes padded to a BLOCK multiple (padded lanes
+    hold identity coords so digit-0 selects contribute the identity)."""
+    nent, nwin, N, C, L = table.shape
+    CC = C * L
+    CCP = -(-CC // 8) * 8
+    lanes = nwin * N
+    t = jnp.transpose(table, (0, 3, 4, 1, 2)).reshape(nent, CC, lanes)
+    if CCP != CC:
+        t = jnp.concatenate(
+            [t, jnp.zeros((nent, CCP - CC, lanes), t.dtype)], axis=1)
+    lp = -(-lanes // BLOCK) * BLOCK
+    if lp != lanes:
+        ident = np.asarray(curve.identity_np).reshape(CC)
+        pad = np.zeros((nent, CCP, lp - lanes), dtype=np.asarray(
+            curve.identity_np).dtype)
+        pad[:, :CC, :] = ident[None, :, None]
+        t = jnp.concatenate([t, jnp.asarray(pad)], axis=2)
+    return t.reshape(nent * CCP, lp)
+
+
+def fixed_msm_kernel(curve, scalars, tbl2, nbits: int,
+                     interpret: bool = False):
+    """Fixed-base MSM via the lookup-accumulate kernel. scalars: plain-form
+    (N, Ls) for the table's N base points; tbl2 from
+    fixed_table_kernel_layout. Returns the (C, L) sum."""
+    from ..msm.engine import tree_sum
+
+    fn, fp = curve.fn, curve.fp
+    NC = getattr(curve, "COORDS", 3)
+    L = fp.L
+    nwin = -(-nbits // WINDOW)
+    N = scalars.shape[0]
+    lanes = tbl2.shape[1]
+    digits = fn.scalar_digits(scalars, nwin * WINDOW, WINDOW)  # (N, nwin)
+    dig2 = digits.T.reshape(1, nwin * N)
+    if lanes != nwin * N:
+        dig2 = jnp.concatenate(
+            [dig2, jnp.zeros((1, lanes - nwin * N), dig2.dtype)], axis=1)
+    out = _fixed_lookup_call(curve, interpret)(tbl2, dig2)  # (CC, BLOCK)
+    pts = out.reshape(NC, L, BLOCK).transpose(2, 0, 1)      # (BLOCK, C, L)
+    return tree_sum(curve, pts)
+
+
 def ladder_scalar_mul(curve, scalars, points, nbits: int,
                       interpret: bool = False):
     """Batched windowed scalar-mul via the whole-ladder kernel.
@@ -260,11 +415,13 @@ def ladder_scalar_mul(curve, scalars, points, nbits: int,
         jnp.asarray(scalars), (*lead, fn.L)
     ).reshape(-1, fn.L)
     N = pts.shape[0]
-    # canonical lane counts (powers of two, floor BLOCK): one compiled
-    # ladder program per count, shared across every MSM of similar size
-    Np = BLOCK
-    while Np < N:
-        Np *= 2
+    # lane counts pad to BLOCK multiples (not powers of two): the kernel's
+    # cost is linear in lanes and blocks are independent grid steps, so a
+    # 2498-lane MSM runs 5 blocks (2560) instead of 8 (4096) — 1.6x less
+    # ladder work for the batch-verify shape. Program count stays bounded:
+    # jit keying is by block count, and callers' lane counts are already
+    # canonicalized per serving config.
+    Np = -(-max(N, BLOCK) // BLOCK) * BLOCK
     if Np != N:
         pts = jnp.concatenate(
             [pts, jnp.broadcast_to(jnp.asarray(curve.identity_np),

@@ -46,6 +46,27 @@ def fixed_base_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def table_bytes(curve, n_points: int, nbits: int | None = None) -> int:
+    """HBM footprint of the window table for n_points fixed bases."""
+    nbits = nbits or curve.fn.order_bits
+    nwin = -(-nbits // WINDOW)
+    C = getattr(curve, "COORDS", 3)
+    lane_bytes = 4 if curve.fp.W <= 15 else 8  # int32 / int64 limb lanes
+    return (1 << WINDOW) * nwin * n_points * C * curve.fp.L * lane_bytes
+
+
+def fixed_base_ok(curve, n_points: int) -> bool:
+    """fixed_base_enabled AND the table fits the memory budget. The table is
+    2^c·nwin·N points — e.g. 0.8 GB for 2048 ed25519 lanes but >2 TB for
+    bls12-381 at mn=16384 (BASELINE config 4) — so large generator sets must
+    fall back to the ladder. Budget override: BPP_FIXED_BASE_MAX_BYTES."""
+    if not fixed_base_enabled():
+        return False
+    budget = int(os.environ.get("BPP_FIXED_BASE_MAX_BYTES",
+                                str(6 * 1024**3)))
+    return table_bytes(curve, n_points) <= budget
+
+
 @functools.lru_cache(maxsize=None)
 def _precompute_jit(curve, nbits: int):
     c = WINDOW
@@ -117,6 +138,13 @@ def _fixed_msm_jit(curve, nbits: int):
 def fixed_msm(curve, scalars, table, nbits: int | None = None):
     """Σᵢ scalars[i]·Pᵢ over the precomputed table's base points.
 
-    scalars: plain-form (N, Ls) limbs; table from precompute_tables."""
+    scalars: plain-form (N, Ls) limbs; table from precompute_tables (5D XLA
+    layout) or fixed_table_kernel_layout (2D — dispatches to the Pallas
+    lookup-accumulate kernel, which streams the table through VMEM once
+    instead of materializing the select-tree levels in HBM)."""
     nbits = nbits or curve.fn.order_bits
+    if table.ndim == 2:
+        from ..curves.pallas_curve import fixed_msm_kernel
+
+        return fixed_msm_kernel(curve, scalars, table, nbits)
     return _fixed_msm_jit(curve, nbits)(scalars, table)

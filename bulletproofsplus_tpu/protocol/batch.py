@@ -11,9 +11,11 @@ the mesh (BASELINE config 5).
 """
 from __future__ import annotations
 
+import functools
 import secrets
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import VerificationError
@@ -22,10 +24,94 @@ from .range import (
     ProofBatch,
     RangeProof,
     VerificationInputs,
+    replay_batch,
     stack_commitments,
     verification_inputs,
     verification_inputs_batch,
 )
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_verify_fused_jit(curve, n: int, m: int, K: int, fixed: bool):
+    """The ENTIRE homogeneous batch verification after transcript replay as
+    ONE compiled program: K proofs' exponent vectors (vmapped), the
+    random-linear-combination merge, the variable-lane MSM, the fixed-base
+    generator-lane MSM (when `fixed`), and the identity check. Eagerly this
+    is ~12 dispatches; on a remote TPU backend each costs ~0.1 s of latency
+    while the whole batch's device math is ~10 ms — fusion makes the batch
+    path dispatch-count-independent of K (one program, one bool out)."""
+    from ..msm.fixed import fixed_msm
+    from .range import _vinputs_multiple_jit, _vinputs_single_prog
+
+    base = (_vinputs_single_prog(curve, n) if m == 1
+            else _vinputs_multiple_jit(curve, n, m))
+    vf = jax.vmap(base)
+    fn = curve.fn
+    nbits = fn.order_bits
+
+    def f(ys, zs, ess, efs, rp, sp, dp_, A, Aw, B, L, R, V, W, g, h,
+          gen1, gen2):
+        uniq_s, G_exp, H_exp, g_exp, h_exp = vf(ys, zs, ess, efs, rp, sp, dp_)
+        Wg = W[:, None, :]
+        G_exp = fn.sum(fn.mul(G_exp, Wg), axis=0)      # (mn, L)
+        H_exp = fn.sum(fn.mul(H_exp, Wg), axis=0)
+        g_exp = fn.sum(fn.mul(g_exp, W), axis=0)       # (L,)
+        h_exp = fn.sum(fn.mul(h_exp, W), axis=0)
+        if m == 1:
+            # single verifier pairs [1, e, e²] with [B, A_wip, A] (wip:365-372)
+            head = [B[:, None], Aw[:, None], A[:, None]]
+        else:
+            # aggregated pairs [1, e⁻¹, e⁻²] with [A, A_wip, B]
+            head = [A[:, None], Aw[:, None], B[:, None]]
+        uniq_p = jnp.concatenate(head + [L, R, V], axis=1)
+        uniq_s = fn.mul(uniq_s, Wg).reshape(-1, fn.L)
+        uniq_p = uniq_p.reshape(-1, *uniq_p.shape[-2:])
+        var_s = jnp.concatenate([uniq_s, g_exp[None], h_exp[None]], axis=0)
+        var_p = jnp.concatenate([uniq_p, g[None], h[None]], axis=0)
+        if fixed:
+            fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+            out = curve.add(
+                msm(curve, fn.from_mont(var_s), var_p),
+                fixed_msm(curve, fn.from_mont(fixed_s), gen1, nbits),
+            )
+        else:
+            var_s = jnp.concatenate([var_s, G_exp, H_exp], axis=0)
+            var_p = jnp.concatenate([var_p, gen1, gen2], axis=0)
+            out = msm(curve, fn.from_mont(var_s), var_p)
+        return curve.is_identity(out)
+
+    return jax.jit(f)
+
+
+def _batch_verify_fused(curve, pk, n: int, m: int, batch: ProofBatch,
+                        V_all, transcripts, draw) -> None:
+    """Homogeneous single-device batch verification through the fused
+    program. Raises VerificationError on failure."""
+    from ..msm.fixed import fixed_base_ok
+
+    fn = curve.fn
+    K = len(batch)
+    mn = n * m
+    ys, zs, ess, efs = replay_batch(curve, batch, V_all, n, m, transcripts)
+    W = jnp.asarray(fn.encode([draw() for _ in range(K)]))  # (K, L)
+    head = (
+        jnp.asarray(fn.encode(ys)),
+        jnp.asarray(fn.encode(zs)),
+        jnp.asarray(fn.encode([e for es in ess for e in es])).reshape(
+            K, -1, fn.L),
+        jnp.asarray(fn.encode(efs)),
+        batch.r_prime, batch.s_prime, batch.d_prime,
+        batch.A, batch.A_wip, batch.B, batch.L_vec, batch.R_vec, V_all,
+        W, pk.g, pk.h,
+    )
+    if fixed_base_ok(curve, 2 * mn):
+        ok = _batch_verify_fused_jit(curve, n, m, K, True)(
+            *head, pk.fixed_tables(mn), pk.h[None])
+    else:
+        ok = _batch_verify_fused_jit(curve, n, m, K, False)(
+            *head, pk.G_vec[:mn], pk.H_vec[:mn])
+    if not bool(ok):
+        raise VerificationError("batch verification failed")
 
 
 def batch_verify(
@@ -73,6 +159,21 @@ def batch_verify(
         )
     dp = (mesh.shape.get("dp", 1)
           if mesh is not None and hasattr(mesh, "shape") else 1)
+    from .wip import _fuse_ok
+
+    if homogeneous and mesh is None and _fuse_ok():
+        # single-device fast path (TPU: remote dispatch latency dominates):
+        # replay on host, then ONE fused program (exponent vectors + RLC
+        # merge + MSMs + identity check). CPU keeps the eager-merged path —
+        # its per-(n, m, K) fused compiles cost more than they save.
+        batch = (proofs if isinstance(proofs, ProofBatch)
+                 else ProofBatch.from_proofs(proofs))
+        V_all = stack_commitments(curve, commitment_lists)
+        m = V_all.shape[1]
+        if n * m != (1 << batch.rounds):
+            raise VerificationError()
+        _batch_verify_fused(curve, pk, n, m, batch, V_all, transcripts, draw)
+        return
     if homogeneous:
         # ONE vmapped program computes every proof's exponent vectors, and
         # ONE weighted multiply + tree-reduce merges them (the per-proof
@@ -126,14 +227,14 @@ def batch_verify(
         g_exp=g_exp,
         h_exp=h_exp,
     )
-    from ..msm.fixed import fixed_base_enabled, fixed_msm
+    from ..msm.fixed import fixed_base_ok, fixed_msm
 
+    mn = G_exp.shape[0]
     if mesh is not None:
         from ..parallel import sharded_fixed_msm, sharded_msm
 
         tp = (mesh.shape.get("tp", 1) if hasattr(mesh, "shape") else 1)
-        mn = G_exp.shape[0]
-        if fixed_base_enabled() and (2 * mn) % max(tp, 1) == 0:
+        if fixed_base_ok(curve, 2 * mn) and (2 * mn) % max(tp, 1) == 0:
             # generator lanes on sharded fixed-base tables (table point axis
             # over tp), proof-specific lanes on the sharded ladder
             var_s = jnp.concatenate(
@@ -144,12 +245,12 @@ def batch_verify(
             expected = curve.add(
                 sharded_msm(curve, fn.from_mont(var_s), var_p, mesh),
                 sharded_fixed_msm(curve, fn.from_mont(fixed_s),
-                                  pk.fixed_tables(mn), mesh),
+                                  pk.fixed_tables(mn, layout="xla"), mesh),
             )
         else:
             scalars, points = combined.msm_inputs(pk)
             expected = sharded_msm(curve, scalars, points, mesh)
-    elif fixed_base_enabled():
+    elif fixed_base_ok(curve, 2 * mn):
         # the 2mn shared-generator lanes run on the precomputed fixed-base
         # tables; only the K·(2·log(mn)+m+3)+2 proof-specific lanes ladder
         var_s = jnp.concatenate(

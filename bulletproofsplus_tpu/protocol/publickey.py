@@ -67,18 +67,30 @@ class PublicKey:
     def length(self) -> int:
         return self.G_vec.shape[0]
 
-    def fixed_tables(self, mn: int) -> jnp.ndarray:
+    def fixed_tables(self, mn: int, layout: str | None = None) -> jnp.ndarray:
         """Cached fixed-base window tables for [G_vec[:mn] ‖ H_vec[:mn]]
-        (msm/fixed.py): one-time per (pk, mn), reused by every subsequent
-        verification over this generator set."""
+        (msm/fixed.py): one-time per (pk, mn, layout), reused by every
+        subsequent verification over this generator set.
+
+        layout "kernel" (2D, the Pallas lookup kernel's limb-major form) or
+        "xla" (5D, the select-tree path / sharded fixed MSM); default picks
+        the kernel layout whenever the Pallas MSM path is active."""
+        if layout is None:
+            from ..msm.engine import _ladder_ok
+
+            layout = "kernel" if _ladder_ok(self.curve) else "xla"
         cache = self.__dict__.setdefault("_fb_tables", {})
-        t = cache.get(mn)
+        t = cache.get((mn, layout))
         if t is None:
             from ..msm.fixed import precompute_tables
 
             pts = jnp.concatenate([self.G_vec[:mn], self.H_vec[:mn]], axis=0)
             t = precompute_tables(self.curve, pts)
-            cache[mn] = t
+            if layout == "kernel":
+                from ..curves.pallas_curve import fixed_table_kernel_layout
+
+                t = fixed_table_kernel_layout(self.curve, t)
+            cache[(mn, layout)] = t
         return t
 
     def commitment(self, v: int, gamma: int) -> jnp.ndarray:

@@ -434,7 +434,7 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
         raise VerificationError()
     y, z, es, e = _replay_challenges(
         curve, proof, m, logn, commitment_vec, transcript)
-    from ..msm.fixed import fixed_base_enabled
+    from ..msm.fixed import fixed_base_ok
 
     head = (
         jnp.asarray(fn.encode(y)),
@@ -445,7 +445,7 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
         proof.A, wproof.A, wproof.B, wproof.L_vec, wproof.R_vec,
         jnp.stack(list(commitment_vec)), pk.g, pk.h,
     )
-    if fixed_base_enabled():
+    if fixed_base_ok(curve, 2 * mn):
         ok = _verify_fused_fb_jit(curve, n, m)(*head, pk.fixed_tables(mn))
     else:
         ok = _verify_fused_jit(curve, n, m)(
@@ -571,32 +571,17 @@ def stack_commitments(curve, commitment_lists) -> jnp.ndarray:
     return V_flat.reshape(K, m, *V_flat.shape[-2:])
 
 
-def verification_inputs_batch(curve, proofs, pk, n, commitments,
-                              transcripts):
-    """Stacked verification inputs over a leading K axis for a HOMOGENEOUS
-    batch (same n and m for every proof): per-proof host transcript
-    replay, then ONE vmapped device program computes every proof's exponent
-    vectors (K sequential per-proof programs would be dispatch-bound on a
-    remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64).
-    m=1 and m>1 use their respective verifier equations (e² vs e⁻² form,
-    range/mod.rs:189-238 vs :405-510) — both vmapped.
-
-    proofs: a ProofBatch (zero re-stacking) or a sequence of RangeProof.
-    commitments: (K, m, C, L) array or K per-proof commitment lists."""
+def replay_batch(curve, batch: "ProofBatch", V_all, n: int, m: int,
+                 transcripts):
+    """Host-side Fiat-Shamir replay for a homogeneous batch. Returns
+    (ys, zs, ess, efs) int lists; raises VerificationError on zero
+    challenges. Deterministic transcripts never look at their point
+    arguments; hash transcripts get host views fetched ONCE per stacked
+    tensor (not once per proof)."""
     fn = curve.fn
-    if not isinstance(proofs, ProofBatch):
-        proofs = ProofBatch.from_proofs(proofs)
-    batch = proofs
-    V_all = stack_commitments(curve, commitments)
-    K, m = V_all.shape[0], V_all.shape[1]
+    K = len(batch)
     mn = n * m
     logn = mn.bit_length() - 1
-    if len(batch) != K or mn != (1 << batch.rounds):
-        raise VerificationError()
-
-    # transcript replay: deterministic transcripts never look at their
-    # point arguments; hash transcripts get host views fetched ONCE per
-    # stacked tensor (not once per proof)
     deterministic = all(
         tr is None or getattr(tr, "challenges_known_ahead", False)
         for tr in transcripts
@@ -628,6 +613,32 @@ def verification_inputs_batch(curve, proofs, pk, n, commitments,
         zs.append(z)
         ess.append(es)
         efs.append(e)
+    return ys, zs, ess, efs
+
+
+def verification_inputs_batch(curve, proofs, pk, n, commitments,
+                              transcripts):
+    """Stacked verification inputs over a leading K axis for a HOMOGENEOUS
+    batch (same n and m for every proof): per-proof host transcript
+    replay, then ONE vmapped device program computes every proof's exponent
+    vectors (K sequential per-proof programs would be dispatch-bound on a
+    remote TPU backend — measured 2.6 s vs 0.15 s for the MSM at K=64).
+    m=1 and m>1 use their respective verifier equations (e² vs e⁻² form,
+    range/mod.rs:189-238 vs :405-510) — both vmapped.
+
+    proofs: a ProofBatch (zero re-stacking) or a sequence of RangeProof.
+    commitments: (K, m, C, L) array or K per-proof commitment lists."""
+    fn = curve.fn
+    if not isinstance(proofs, ProofBatch):
+        proofs = ProofBatch.from_proofs(proofs)
+    batch = proofs
+    V_all = stack_commitments(curve, commitments)
+    K, m = V_all.shape[0], V_all.shape[1]
+    mn = n * m
+    if len(batch) != K or mn != (1 << batch.rounds):
+        raise VerificationError()
+
+    ys, zs, ess, efs = replay_batch(curve, batch, V_all, n, m, transcripts)
 
     vf = (_vinputs_single_jit_vmap(curve, n) if m == 1
           else _vinputs_multiple_jit_vmap(curve, n, m))

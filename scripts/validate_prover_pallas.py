@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Hardware validation for the Pallas-ladder prover path.
+
+Runs the batch prover twice on the real chip — BPP_PROVER_PALLAS=0 (XLA
+scan ladder) and =1 (whole-ladder Pallas kernel inside the unrolled fold
+program) — and requires byte-identical proofs, then reports the speedup.
+Used to justify enabling the Pallas prover by default on TPU.
+
+Usage: python scripts/validate_prover_pallas.py [K] [n] [m]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bulletproofsplus_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
+
+from bulletproofsplus_tpu import PublicKey, RangeProver, curve_ops  # noqa: E402
+from bulletproofsplus_tpu.protocol import batch_prove  # noqa: E402
+
+
+def run(curve, pk, n, provers):
+    t0 = time.time()
+    pb = batch_prove(curve, pk, n, provers)
+    out = {f: np.asarray(getattr(pb, f)) for f in
+           ("A", "L_vec", "R_vec", "A_wip", "B",
+            "r_prime", "s_prime", "d_prime")}
+    return out, time.time() - t0
+
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    curve = curve_ops(sys.argv[4] if len(sys.argv) > 4 else "edwards25519")
+    pk = PublicKey.new(curve, n * m)
+    provers = []
+    for k in range(K):
+        p = RangeProver()
+        for i in range(m):
+            p.commit(pk, (7 * k + 3 * i + 2) % (1 << n), 2 * i + k + 3)
+        provers.append(p)
+
+    os.environ["BPP_PROVER_PALLAS"] = "0"
+    base, _ = run(curve, pk, n, provers)     # warm the baseline compile
+    base, t_xla = run(curve, pk, n, provers)
+    print(f"XLA scan ladder: {t_xla:.3f}s = {t_xla / K * 1e3:.1f} ms/proof")
+
+    os.environ["BPP_PROVER_PALLAS"] = "1"
+    pal, _ = run(curve, pk, n, provers)      # warm the Pallas compile
+    pal, t_pal = run(curve, pk, n, provers)
+    print(f"Pallas ladder:   {t_pal:.3f}s = {t_pal / K * 1e3:.1f} ms/proof "
+          f"({t_xla / t_pal:.2f}x)")
+
+    ok = all(np.array_equal(base[f], pal[f]) for f in base)
+    print("byte-identical:", ok)
+    if not ok:
+        for f in base:
+            if not np.array_equal(base[f], pal[f]):
+                print("  mismatch in", f)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,36 @@ def test_batch_verify_proofbatch_rejects_tampered():
     )
     with pytest.raises(VerificationError):
         batch_verify(curve, pk, n, bad, commits)
+
+
+@pytest.mark.parametrize("fb", ["0", "1"])
+def test_batch_verify_fused_path_matches_m1(monkeypatch, fb):
+    """The TPU fused batch-verify program (one jit: vmapped exponent
+    vectors + RLC merge + MSMs + identity check) must accept what the
+    eager-merged CPU path accepts and reject tampered batches — both
+    generator-lane modes (ladder fb=0 / fixed-base tables fb=1), m=1
+    (the e²-form single-proof equation, vmapped). The m>1 fused program
+    is the same composition over _vinputs_multiple and runs on TPU every
+    round via bench.py (K=64, n=64, m=16) and
+    scripts/profile_batch_verify.py — its XLA:CPU compile is minutes-long
+    and intermittently segfaults LLVM (see conftest), so it is not
+    exercised on the CPU mesh."""
+    from bulletproofsplus_tpu.protocol.batch import _batch_verify_fused
+
+    curve = curve_ops("edwards25519")
+    n, m, K = 8, 1, 3
+    pk = PublicKey.new(curve, n * m)
+    provers = _provers(pk, n, m, K)
+    pbatch = batch_prove(curve, pk, n, provers)
+    V_all = stack_commitments(curve, [p.commitment_vec for p in provers])
+    monkeypatch.setenv("BPP_FIXED_BASE", fb)
+    _batch_verify_fused(
+        curve, pk, n, m, pbatch, V_all, [None] * K, lambda: 987654321)
+    bad = dataclasses.replace(
+        pbatch,
+        s_prime=pbatch.s_prime.at[2].set(
+            jnp.asarray(curve.fn.encode(4096))),
+    )
+    with pytest.raises(VerificationError):
+        _batch_verify_fused(
+            curve, pk, n, m, bad, V_all, [None] * K, lambda: 987654321)

@@ -59,3 +59,35 @@ def test_mont_mul_multi_block_and_broadcast():
     b = jnp.asarray(ops.encode(y))  # (L,) broadcast against (n, L)
     got = mont_mul(ops, a, b, interpret=True)
     assert ops.decode(got) == [x * y % p for x in xs]
+
+
+@pytest.mark.parametrize("name", ["edwards25519", "secp256k1"])
+def test_fixed_msm_kernel_matches_golden(name):
+    """Pallas fixed-base lookup-accumulate kernel vs the golden oracle and
+    the XLA select-tree path, interpret mode (covers both point families,
+    the lane-padding path, and the kernel-layout transform)."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import (
+        fixed_msm_kernel,
+        fixed_table_kernel_layout,
+    )
+    from bulletproofsplus_tpu.msm.fixed import fixed_msm, precompute_tables
+
+    curve = curve_ops(name)
+    gc = golden_curve(name)
+    rng = random.Random(13)
+    nbits = 16  # 4 windows; N=6 pads the lane axis (24 -> BLOCK)
+    N = 6
+    ks = [rng.randrange(1 << nbits) for _ in range(N - 2)] + [0, 1]
+    pts = [gc.mul(gc.base(), i + 2) for i in range(N)]
+    s = jnp.asarray(curve.fn.encode_plain(ks))
+    P = jnp.asarray(curve.encode_points(pts))
+    table = precompute_tables(curve, P, nbits)
+    tbl2 = fixed_table_kernel_layout(curve, table)
+    got = fixed_msm_kernel(curve, s, tbl2, nbits, interpret=True)
+    want_xla = fixed_msm(curve, s, table, nbits)
+    want = None
+    for k, p in zip(ks, pts):
+        want = gc.add(want, gc.mul(p, k))
+    assert curve.decode_point(got) == want
+    assert curve.decode_point(want_xla) == want
