@@ -350,16 +350,17 @@ def _wip_prove_known_scan_prog(curve, n: int):
 
 def _prover_pallas() -> bool:
     """Route the unrolled prover's >=1024-lane rounds through the
-    whole-ladder Pallas kernel (BPP_PROVER_PALLAS=1). Off by default until
-    validated on hardware — the same kernel already serves msm() in the
-    verifier and the vmapped batch setup program, but the prover's use
-    under vmap inside the unrolled program is new."""
+    whole-ladder Pallas kernel. Default ON (TPU only — _ladder_ok gates on
+    backend): validated byte-identical against the XLA scan ladder on
+    hardware by scripts/validate_prover_pallas.py. BPP_PROVER_PALLAS=0
+    forces the XLA path. Read at CALL time and part of the compiled-program
+    cache key, so flipping the env var mid-process takes effect."""
     import os
 
-    return os.environ.get("BPP_PROVER_PALLAS") == "1"
+    return os.environ.get("BPP_PROVER_PALLAS", "1") == "1"
 
 
-def _wip_prove_known_unrolled_prog(curve, n: int):
+def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
     """The whole fold loop + finals as ONE compiled program with TRUE
     per-round shapes (the halving loop unrolled log2(n) times).
 
@@ -425,7 +426,7 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
                 jnp.concatenate([G1, H2, g[None], h[None]]),
             ])
             W = 2 * half + 2
-            if _prover_pallas() and _ladder_ok(curve) and 2 * W >= 1024:
+            if pallas and _ladder_ok(curve) and 2 * W >= 1024:
                 # msm() takes the whole-ladder Pallas path at this size
                 LR = msm(curve, fn.from_mont(S), P)       # (2, C, L)
             else:
@@ -450,7 +451,7 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
                 (4, half, fn.L),
             )
             fp = jnp.stack([G1, G2, H1, H2])
-            if _prover_pallas() and _ladder_ok(curve) and 4 * half >= 1024:
+            if pallas and _ladder_ok(curve) and 4 * half >= 1024:
                 from ..curves.pallas_curve import ladder_scalar_mul
 
                 fg = ladder_scalar_mul(curve, fs, fp, nbits)
@@ -490,9 +491,9 @@ def _wip_prove_known_unrolled_prog(curve, n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _wip_prove_known_jit_impl(curve, n: int, scan: bool):
+def _wip_prove_known_jit_impl(curve, n: int, scan: bool, pallas: bool):
     prog = (_wip_prove_known_scan_prog(curve, n) if scan
-            else _wip_prove_known_unrolled_prog(curve, n))
+            else _wip_prove_known_unrolled_prog(curve, n, pallas))
     return jax.jit(prog)
 
 
@@ -504,14 +505,15 @@ def _wip_prove_known_scan_jit(curve, n: int):
     forces the unrolled variant."""
     import os
 
+    scan = os.environ.get("BPP_PROVER_SCAN", "1") == "1"
     return _wip_prove_known_jit_impl(
-        curve, n, os.environ.get("BPP_PROVER_SCAN", "1") == "1")
+        curve, n, scan, False if scan else _prover_pallas())
 
 
 @functools.lru_cache(maxsize=None)
-def _wip_prove_known_vmap_jit_impl(curve, n: int, scan: bool):
+def _wip_prove_known_vmap_jit_impl(curve, n: int, scan: bool, pallas: bool):
     prog = (_wip_prove_known_scan_prog(curve, n) if scan
-            else _wip_prove_known_unrolled_prog(curve, n))
+            else _wip_prove_known_unrolled_prog(curve, n, pallas))
     return jax.jit(jax.vmap(
         prog,
         in_axes=(0, 0, 0, 0, None, None, None, None,
@@ -528,8 +530,9 @@ def _wip_prove_known_scan_vmap_jit(curve, n: int):
     forces the scan variant."""
     import os
 
+    scan = os.environ.get("BPP_PROVER_SCAN") == "1"
     return _wip_prove_known_vmap_jit_impl(
-        curve, n, os.environ.get("BPP_PROVER_SCAN") == "1")
+        curve, n, scan, False if scan else _prover_pallas())
 
 
 def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:

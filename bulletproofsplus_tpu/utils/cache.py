@@ -27,6 +27,20 @@ def setup_compilation_cache(path: str | None = None) -> None:
         return
 
     path = path or os.environ.get("BPP_JAX_CACHE_DIR", _DEFAULT_DIR)
+    # The CPU ISA pin lives in the XLA_FLAGS env var, which is NOT part of
+    # jax's cache key — a pinned process can deserialize an executable that
+    # was codegen'd unpinned (AVX-512 on this VM) and segfault inside
+    # cache_read. Partition CPU entries by ISA tag; TPU keeps the root dir.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu":
+        isa = "native"
+        for tok in os.environ.get("XLA_FLAGS", "").split():
+            if tok.startswith("--xla_cpu_max_isa="):
+                isa = tok.split("=", 1)[1].lower()
+        path = os.path.join(path, f"cpu-{isa}")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
