@@ -89,10 +89,13 @@ def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
     total = per * tp
     Bp = -(-B // dp) * dp
     if total != n or Bp != B:
-        sc = jnp.zeros((Bp, total, scalars.shape[-1]), jnp.int32)
+        # pads allocate in the inputs' own dtypes (int64 limb lanes on CPU):
+        # a cross-dtype .at[].set raises on future JAX versions
+        sc = jnp.zeros((Bp, total, scalars.shape[-1]), scalars.dtype)
         scalars = sc.at[:B, :n].set(scalars)
         pp = jnp.broadcast_to(
-            jnp.asarray(curve.identity_np), (Bp, total, *points.shape[-2:])
+            jnp.asarray(curve.identity_np).astype(points.dtype),
+            (Bp, total, *points.shape[-2:]),
         )
         points = pp.at[:B, :n].set(points)
     scalars = jax.device_put(

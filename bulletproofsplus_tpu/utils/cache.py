@@ -16,6 +16,12 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 def setup_compilation_cache(path: str | None = None) -> None:
     """On by default for both TPU and CPU (disable via BPP_JAX_CACHE=0).
 
+    Set XLA_FLAGS BEFORE calling this (as tests/conftest.py and
+    __graft_entry__.py do): the call initializes the JAX backend and
+    snapshots the ISA tag from XLA_FLAGS at that moment — flags changed
+    afterwards would not affect codegen but WOULD desynchronize the cache
+    partition from the executables actually produced.
+
     CPU caching requires codegen restricted to features the machine actually
     executes — tests/conftest.py forces --xla_cpu_max_isa=AVX2 because this
     VM's CPUID over-reports AVX-512 subsets; with that restriction cache

@@ -61,6 +61,10 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     cname = sys.argv[4] if len(sys.argv) > 4 else "edwards25519"
+    # batch_prove routes m == 1 through _setup_single_vmap_jit; this profiler
+    # only mirrors the aggregated (m > 1) pipeline — profiling a program the
+    # real m=1 path never runs would mislead
+    assert m > 1, "profile_batch_prove mirrors the m>1 pipeline; use m >= 2"
     curve = curve_ops(cname)
     fn = curve.fn
     mn = n * m

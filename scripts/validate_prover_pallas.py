@@ -3,8 +3,13 @@
 
 Runs the batch prover twice on the real chip — BPP_PROVER_PALLAS=0 (XLA
 scan ladder) and =1 (whole-ladder Pallas kernel inside the unrolled fold
-program) — and requires byte-identical proofs, then reports the speedup.
-Used to justify enabling the Pallas prover by default on TPU.
+program) — and requires scalars byte-exact plus points affine-equal
+(identical serialized proofs; raw limb tensors may differ by a projective
+scale factor from different MSM lane padding), then END-TO-END VERIFIES the
+Pallas-path ProofBatch with batch_verify — which consumes the raw limb
+tensors (extended-Edwards T included), so an internally inconsistent point
+that happens to be affine-equal still fails. Reports the speedup. Used to
+justify enabling the Pallas prover by default on TPU.
 
 Usage: python scripts/validate_prover_pallas.py [K] [n] [m]
 """
@@ -14,6 +19,7 @@ import os
 import sys
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,7 +41,7 @@ def run(curve, pk, n, provers):
     pb = batch_prove(curve, pk, n, provers)
     out = {f: np.asarray(getattr(pb, f))
            for f in POINT_FIELDS + SCALAR_FIELDS}
-    return out, time.time() - t0
+    return pb, out, time.time() - t0
 
 
 def points_equal(curve, a, b) -> bool:
@@ -66,13 +72,13 @@ def main():
         provers.append(p)
 
     os.environ["BPP_PROVER_PALLAS"] = "0"
-    base, _ = run(curve, pk, n, provers)     # warm the baseline compile
-    base, t_xla = run(curve, pk, n, provers)
+    _, base, _ = run(curve, pk, n, provers)  # warm the baseline compile
+    _, base, t_xla = run(curve, pk, n, provers)
     print(f"XLA scan ladder: {t_xla:.3f}s = {t_xla / K * 1e3:.1f} ms/proof")
 
     os.environ["BPP_PROVER_PALLAS"] = "1"
-    pal, _ = run(curve, pk, n, provers)      # warm the Pallas compile
-    pal, t_pal = run(curve, pk, n, provers)
+    pb, pal, _ = run(curve, pk, n, provers)  # warm the Pallas compile
+    pb, pal, t_pal = run(curve, pk, n, provers)
     print(f"Pallas ladder:   {t_pal:.3f}s = {t_pal / K * 1e3:.1f} ms/proof "
           f"({t_xla / t_pal:.2f}x)")
 
@@ -86,6 +92,19 @@ def main():
             print("  point mismatch in", f)
             ok = False
     print("proofs equal (scalars byte-exact, points affine-equal):", ok)
+
+    # end-to-end: verify the Pallas-path batch through the production
+    # verifier, which consumes RAW limb tensors (T coordinate included) —
+    # catches internally inconsistent points that are affine-equal
+    from bulletproofsplus_tpu.protocol import batch_verify
+
+    commits = jnp.stack([jnp.stack(p.commitment_vec) for p in provers])
+    try:
+        batch_verify(curve, pk, n, pb, commits)
+        print("batch_verify(Pallas proofs): ok")
+    except Exception as exc:  # noqa: BLE001
+        print("batch_verify(Pallas proofs) FAILED:", exc)
+        ok = False
     if not ok:
         sys.exit(1)
 
