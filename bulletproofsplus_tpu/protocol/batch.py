@@ -129,9 +129,10 @@ def batch_verify(
     proofs: a ProofBatch (the zero-restacking fast path — what batch_prove
     returns) or a sequence of RangeProof. commitment_lists: a (K, m, C, L)
     array or K per-proof commitment lists. transcripts: per-proof transcript
-    (default: deterministic, matching the reference's constants). rng:
-    optional callable returning random weight ints (for tests); defaults to
-    128-bit secrets.
+    (default: ShaTranscript — the secure Fiat-Shamir mode matching prove()'s
+    default; pass DeterministicTranscript instances for reference-constant
+    replay). rng: optional callable returning random weight ints (for
+    tests); defaults to 128-bit secrets.
     """
     fn = curve.fn
     n_commits = (commitment_lists.shape[0]

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..transcript import DeterministicRng, DeterministicTranscript
+from ..transcript import ShaTranscript, SystemRng
 from .range import (
     ProofBatch,
     _bit_commitment_prog,
@@ -135,9 +135,11 @@ def batch_prove(
     from .range import pk_prefix
 
     pk = pk_prefix(pk, n * m)
+    # secure by default (matching prove()): real Fiat-Shamir + random blinds;
+    # the reference-constant mode is opt-in via explicit transcripts/rngs
     transcripts = (list(transcripts) if transcripts
-                   else [DeterministicTranscript(m) for _ in range(K)])
-    rngs = list(rngs) if rngs else [DeterministicRng(m) for _ in range(K)]
+                   else [ShaTranscript(m) for _ in range(K)])
+    rngs = list(rngs) if rngs else [SystemRng(curve.fn.p) for _ in range(K)]
 
     # CPU gate: the vmapped prover programs (a point-ladder MSM per fold
     # round) exhaust LLVM compile memory on XLA:CPU (observed >100 GB →

@@ -22,7 +22,7 @@ from ..errors import (
     VerificationError,
 )
 from ..msm import msm, tree_sum
-from ..transcript import DeterministicRng, DeterministicTranscript
+from ..transcript import ShaTranscript, SystemRng
 from .publickey import PublicKey
 from .wip import WipProof, verification_scalars, wip_prove
 
@@ -186,8 +186,12 @@ def prove(
     m = len(prover.v_vec)
     _validate(pk, n, m)
     pk = pk_prefix(pk, n * m)
-    transcript = transcript or DeterministicTranscript(m)
-    rng = rng or DeterministicRng(m)
+    # SECURE BY DEFAULT: real Fiat-Shamir challenges + cryptographically
+    # random blindings. The reference's stripped-transcript constants
+    # (SURVEY.md §2.9) are opt-in via transcript=DeterministicTranscript(m),
+    # rng=DeterministicRng(m) — the differential-test mode, NOT a proof.
+    transcript = transcript or ShaTranscript(m)
+    rng = rng or SystemRng(curve.fn.p)
     if m == 1:
         return _prove_single(
             curve, pk, n, prover.v_vec[0], prover.gamma_vec[0],
@@ -221,7 +225,7 @@ def verify(
         # (SURVEY.md §2.8: the only variant actually produced)
         raise VerificationError(str(exc) or "invalid arguments")
     pk = pk_prefix(pk, n * m)
-    transcript = transcript or DeterministicTranscript(m)
+    transcript = transcript or ShaTranscript(m)  # match prove()'s default
     if m == 1:
         _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
     else:
@@ -494,7 +498,7 @@ def verification_inputs(curve, proof, pk, n, commitment_vec, transcript=None):
     commitment_vec = list(commitment_vec)
     m = len(commitment_vec)
     pk = pk_prefix(pk, n * m)
-    transcript = transcript or DeterministicTranscript(m)
+    transcript = transcript or ShaTranscript(m)
     if m == 1:
         return _verification_inputs_single(
             curve, proof, pk, n, commitment_vec[0], transcript
@@ -583,7 +587,7 @@ def replay_batch(curve, batch: "ProofBatch", V_all, n: int, m: int,
     mn = n * m
     logn = mn.bit_length() - 1
     deterministic = all(
-        tr is None or getattr(tr, "challenges_known_ahead", False)
+        tr is not None and getattr(tr, "challenges_known_ahead", False)
         for tr in transcripts
     )
     if deterministic:
@@ -595,7 +599,7 @@ def replay_batch(curve, batch: "ProofBatch", V_all, n: int, m: int,
         V_np = np.asarray(V_all)
     ys, zs, ess, efs = [], [], [], []
     for i, tr in enumerate(transcripts):
-        tr = tr or DeterministicTranscript(m)
+        tr = tr or ShaTranscript(m)
         y, z = tr.challenge_yz(curve, list(V_np[i] if V_np[i] is not None
                                            else [None] * m), A_np[i])
         es = [

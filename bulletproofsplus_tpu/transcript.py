@@ -14,8 +14,10 @@ lazily: the deterministic mode never syncs device→host; the hash mode decodes
 each appended point once (inherent to Fiat-Shamir — the prover must hash its
 own messages).
 
-A byte-exact Merlin (STROBE-128/Keccak) port for upstream-vector parity is
-planned; ShaTranscript is sound but not Merlin-compatible.
+A byte-exact Merlin (STROBE-128/Keccak) implementation lives in merlin.py
+(MerlinTranscript, KAT-tested against merlin-2.0 vectors) for upstream-vector
+parity; ShaTranscript is sound but intentionally simpler (SHA-512, no STROBE
+framing).
 """
 from __future__ import annotations
 

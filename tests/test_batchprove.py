@@ -24,7 +24,11 @@ from bulletproofsplus_tpu.protocol import (
     batch_verify,
     stack_commitments,
 )
-from bulletproofsplus_tpu.transcript import DeterministicRng, ShaTranscript
+from bulletproofsplus_tpu.transcript import (
+    DeterministicRng,
+    DeterministicTranscript,
+    ShaTranscript,
+)
 
 
 def _provers(pk, n, m, K):
@@ -59,24 +63,29 @@ def test_batch_prove_known_challenges_matches_prove():
     pk = PublicKey.new(curve, n * m)
     provers = _provers(pk, n, m, K)
 
-    pbatch = batch_prove(curve, pk, n, provers)
+    det_t = lambda: [DeterministicTranscript(m) for _ in range(K)]  # noqa: E731
+    det_r = lambda: [DeterministicRng(m) for _ in range(K)]  # noqa: E731
+    pbatch = batch_prove(curve, pk, n, provers,
+                         transcripts=det_t(), rngs=det_r())
     assert isinstance(pbatch, ProofBatch)
     assert len(pbatch) == K and pbatch.rounds == 3
 
     for i, p in enumerate(provers):
-        _assert_same(curve, pbatch[i], prove(curve, pk, n, p))
+        _assert_same(curve, pbatch[i], prove(
+            curve, pk, n, p, transcript=DeterministicTranscript(m),
+            rng=DeterministicRng(m)))
 
     commits = stack_commitments(
         curve, [p.commitment_vec for p in provers])
     # m=1 takes the vmapped single-verifier path (e² equation form)
-    batch_verify(curve, pk, n, pbatch, commits)
+    batch_verify(curve, pk, n, pbatch, commits, transcripts=det_t())
     bad = dataclasses.replace(
         pbatch,
         r_prime=pbatch.r_prime.at[0].set(
             jnp.asarray(curve.fn.encode(31337))),
     )
     with pytest.raises(VerificationError):
-        batch_verify(curve, pk, n, bad, commits)
+        batch_verify(curve, pk, n, bad, commits, transcripts=det_t())
 
 
 def test_batch_prove_interactive_sha_matches_prove():

@@ -64,12 +64,21 @@ def test_oversized_pk_accepted(setup):
     curve, pk, prover = setup  # pk has 16 generators
     proof_big = prove(curve, pk, 8, prover)  # m=2 → needs 16 (exact here)
 
+    # byte-identity below needs pinned challenges AND blinds (the secure
+    # default randomizes blinds), so this part runs in reference mode
+    from bulletproofsplus_tpu.transcript import (
+        DeterministicRng,
+        DeterministicTranscript,
+    )
+
+    det = lambda: DeterministicTranscript(1)  # noqa: E731
     pk8 = PublicKey(curve=pk.curve, g=pk.g, h=pk.h,
                     G_vec=pk.G_vec, H_vec=pk.H_vec)  # 16 gens, m=1 needs 8
     p1 = RangeProver()
     p1.commit(pk8, 200, 7)
-    proof = prove(curve, pk8, 8, p1)  # oversized: 16 > 8
-    verify(curve, proof, pk8, 8, p1.commitment_vec)
+    proof = prove(curve, pk8, 8, p1, transcript=det(),
+                  rng=DeterministicRng(1))  # oversized: 16 > 8
+    verify(curve, proof, pk8, 8, p1.commitment_vec, transcript=det())
 
     # identical bytes to a proof under the exact-size pk prefix
     from bulletproofsplus_tpu.protocol.range import pk_prefix
@@ -77,7 +86,8 @@ def test_oversized_pk_accepted(setup):
     pk_exact = pk_prefix(pk8, 8)
     p2 = RangeProver()
     p2.commit(pk_exact, 200, 7)
-    want = prove(curve, pk_exact, 8, p2)
+    want = prove(curve, pk_exact, 8, p2, transcript=det(),
+                 rng=DeterministicRng(1))
     assert (proof.to_golden(curve).proof.r_prime
             == want.to_golden(curve).proof.r_prime)
     assert proof.to_golden(curve).A == want.to_golden(curve).A

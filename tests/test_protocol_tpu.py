@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import pytest
 
 from bulletproofsplus_tpu import (
+    DeterministicRng,
+    DeterministicTranscript,
     PublicKey,
     RangeProver,
     ShaTranscript,
@@ -17,6 +19,18 @@ from bulletproofsplus_tpu import (
     prove,
     verify,
 )
+
+
+def _det_prove(curve, pk, n, prover, m):
+    """Reference-constant mode (opt-in since the secure-by-default flip)."""
+    return prove(curve, pk, n, prover,
+                 transcript=DeterministicTranscript(m),
+                 rng=DeterministicRng(m))
+
+
+def _det_verify(curve, proof, pk, n, commitments, m):
+    verify(curve, proof, pk, n, commitments,
+           transcript=DeterministicTranscript(m))
 from bulletproofsplus_tpu.golden import CURVES as GOLDEN_CURVES
 from bulletproofsplus_tpu.golden import (
     PublicKey as GPublicKey,
@@ -57,7 +71,7 @@ def test_prove_bit_exact_vs_golden(curve_name, n, m):
         gprover.commitment_vec
     )
 
-    proof = prove(curve, pk, n, prover)
+    proof = _det_prove(curve, pk, n, prover, m)
     gproof = gprotocol.prove(gc, gpk, n, gprover)
 
     got = proof.to_golden(curve)
@@ -71,7 +85,7 @@ def test_prove_bit_exact_vs_golden(curve_name, n, m):
     assert got.proof.d_prime == gproof.proof.d_prime
 
     # and the TPU verifier accepts the TPU proof
-    verify(curve, proof, pk, n, prover.commitment_vec)
+    _det_verify(curve, proof, pk, n, prover.commitment_vec, m)
     # cross-check: golden verifier accepts the decoded TPU proof
     gprotocol.verify(gc, got, gpk, n, gprover.commitment_vec)
 
@@ -84,10 +98,10 @@ def test_prove_bit_exact_secp(curve_name):
     gprover = GRangeProver()
     for v, g in zip(vs, gammas):
         gprover.commit(gc, gpk, v, g)
-    proof = prove(curve, pk, 8, prover)
+    proof = _det_prove(curve, pk, 8, prover, 1)
     gproof = gprotocol.prove(gc, gpk, 8, gprover)
     assert proof.to_golden(curve).proof.r_prime == gproof.proof.r_prime
-    verify(curve, proof, pk, 8, prover.commitment_vec)
+    _det_verify(curve, proof, pk, 8, prover.commitment_vec, 1)
 
 
 def test_scan_prover_bit_exact(monkeypatch):
@@ -102,7 +116,7 @@ def test_scan_prover_bit_exact(monkeypatch):
     gprover = GRangeProver()
     for v, g in zip(vs, gammas):
         gprover.commit(gc, gpk, v, g)
-    proof = prove(curve, pk, 8, prover)
+    proof = _det_prove(curve, pk, 8, prover, 1)
     gproof = gprotocol.prove(gc, gpk, 8, gprover)
     got = proof.to_golden(curve)
     assert got.proof.L_vec == gproof.proof.L_vec
@@ -112,7 +126,7 @@ def test_scan_prover_bit_exact(monkeypatch):
     assert got.proof.r_prime == gproof.proof.r_prime
     assert got.proof.s_prime == gproof.proof.s_prime
     assert got.proof.d_prime == gproof.proof.d_prime
-    verify(curve, proof, pk, 8, prover.commitment_vec)
+    _det_verify(curve, proof, pk, 8, prover.commitment_vec, 1)
 
 
 def test_unrolled_prover_bit_exact(monkeypatch):
@@ -128,7 +142,7 @@ def test_unrolled_prover_bit_exact(monkeypatch):
     gprover = GRangeProver()
     for v, g in zip(vs, gammas):
         gprover.commit(gc, gpk, v, g)
-    proof = prove(curve, pk, 8, prover)
+    proof = _det_prove(curve, pk, 8, prover, 1)
     gproof = gprotocol.prove(gc, gpk, 8, gprover)
     got = proof.to_golden(curve)
     assert got.proof.L_vec == gproof.proof.L_vec
@@ -137,7 +151,7 @@ def test_unrolled_prover_bit_exact(monkeypatch):
     assert got.proof.B == gproof.proof.B
     assert (got.proof.r_prime, got.proof.s_prime, got.proof.d_prime) == (
         gproof.proof.r_prime, gproof.proof.s_prime, gproof.proof.d_prime)
-    verify(curve, proof, pk, 8, prover.commitment_vec)
+    _det_verify(curve, proof, pk, 8, prover.commitment_vec, 1)
 
 
 @pytest.mark.parametrize("m", [1, 2])
@@ -179,7 +193,7 @@ def test_real_transcript_roundtrip(curve_name, n, m):
 
     # deterministic-transcript verifier must reject a real-transcript proof
     with pytest.raises(VerificationError):
-        verify(curve, proof, pk, n, prover.commitment_vec)
+        _det_verify(curve, proof, pk, n, prover.commitment_vec, m)
 
 
 @pytest.mark.parametrize("curve_name", ["edwards25519"])
@@ -223,3 +237,47 @@ def test_out_of_range_value_rejected(curve_name):
     proof = prove(curve, pk, n, prover)
     with pytest.raises(VerificationError):
         verify(curve, proof, pk, n, prover.commitment_vec)
+
+
+@pytest.mark.parametrize("curve_name", ["edwards25519"])
+def test_default_mode_is_randomized_and_sound(curve_name):
+    """SECURE BY DEFAULT: prove() with no transcript/rng arguments must use
+    real Fiat-Shamir challenges and fresh random blindings — two proofs of
+    the same statement differ (zero-knowledge requires randomized blinds),
+    both verify under the default verifier, and the reference-constant
+    deterministic verifier rejects them (they are not replay-mode proofs)."""
+    curve, pk, prover, _, _ = _setup(curve_name, 8, 1)
+    p1 = prove(curve, pk, 8, prover)
+    p2 = prove(curve, pk, 8, prover)
+    g1, g2 = p1.to_golden(curve), p2.to_golden(curve)
+    assert g1.A != g2.A, "default proofs must be randomized (blinds)"
+    assert g1.proof.r_prime != g2.proof.r_prime
+    verify(curve, p1, pk, 8, prover.commitment_vec)
+    verify(curve, p2, pk, 8, prover.commitment_vec)
+    with pytest.raises(VerificationError):
+        _det_verify(curve, p1, pk, 8, prover.commitment_vec, 1)
+
+
+def test_coeff_prover_bit_exact(monkeypatch):
+    """The COEFFICIENT-FORM prover (wip_coeff.py — the TPU default: no
+    generator folds, every round's L/R a packed fixed-base MSM row over
+    the original pk generators) must match the golden oracle byte-for-byte
+    on scalars and affine points."""
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    monkeypatch.setenv("BPP_PROVER", "coeff")
+    curve, pk, prover, vs, gammas = _setup("edwards25519", 8, 2)
+    gc = GOLDEN_CURVES["edwards25519"]
+    gpk = GPublicKey.new(gc, 16)
+    gprover = GRangeProver()
+    for v, g in zip(vs, gammas):
+        gprover.commit(gc, gpk, v, g)
+    proof = _det_prove(curve, pk, 8, prover, 2)
+    gproof = gprotocol.prove(gc, gpk, 8, gprover)
+    got = proof.to_golden(curve)
+    assert got.proof.L_vec == gproof.proof.L_vec
+    assert got.proof.R_vec == gproof.proof.R_vec
+    assert got.proof.A == gproof.proof.A
+    assert got.proof.B == gproof.proof.B
+    assert (got.proof.r_prime, got.proof.s_prime, got.proof.d_prime) == (
+        gproof.proof.r_prime, gproof.proof.s_prime, gproof.proof.d_prime)
+    _det_verify(curve, proof, pk, 8, prover.commitment_vec, 2)
