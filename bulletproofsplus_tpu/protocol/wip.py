@@ -351,8 +351,11 @@ def _wip_prove_known_scan_prog(curve, n: int):
 def _prover_pallas() -> bool:
     """Route the unrolled prover's >=1024-lane rounds through the
     whole-ladder Pallas kernel. Default ON (TPU only — _ladder_ok gates on
-    backend): validated byte-identical against the XLA scan ladder on
-    hardware by scripts/validate_prover_pallas.py. BPP_PROVER_PALLAS=0
+    backend): validated against the XLA scan ladder on hardware by
+    scripts/validate_prover_pallas.py — scalars byte-exact, points
+    affine-equal (identical serialized proofs; the two engines pad MSM
+    lanes differently, so projective representatives may differ by a
+    scalar factor). BPP_PROVER_PALLAS=0
     forces the XLA path. Read at CALL time and part of the compiled-program
     cache key, so flipping the env var mid-process takes effect."""
     import os
@@ -369,7 +372,8 @@ def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
     ladder point-ops than the true Σ(2·n̂+2 + 4·n̂) halving widths
     (measured 23.4 s → the fold dominates batch proving). Unrolling costs
     one larger compile (persistently cached) and does only the real work.
-    Same inputs/outputs as the scan program, byte-identical proofs.
+    Same inputs/outputs as the scan program; scalars byte-exact, points
+    affine-equal (identical serialized proofs).
 
     Point products route through msm()/the whole-ladder Pallas kernel for
     rounds with >=1024 lanes (the same path the verifier and the batch
@@ -490,6 +494,25 @@ def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
     return f
 
 
+def _prover_variant() -> str:
+    """Which known-challenge whole-fold program to run: 'coeff' (the
+    coefficient-form prover, wip_coeff.py — zero generator folds, every
+    round a packed fixed-base MSM row), 'scan' (constant-shape lax.scan
+    fold body) or 'unrolled' (true per-round widths). BPP_PROVER=coeff|
+    scan|unrolled overrides; legacy BPP_PROVER_SCAN=0/1 still works."""
+    import os
+
+    v = os.environ.get("BPP_PROVER")
+    if v in ("coeff", "scan", "unrolled"):
+        return v
+    legacy = os.environ.get("BPP_PROVER_SCAN")
+    if legacy == "1":
+        return "scan"
+    if legacy == "0":
+        return "unrolled"
+    return "coeff"
+
+
 @functools.lru_cache(maxsize=None)
 def _wip_prove_known_jit_impl(curve, n: int, scan: bool, pallas: bool):
     prog = (_wip_prove_known_scan_prog(curve, n) if scan
@@ -498,16 +521,19 @@ def _wip_prove_known_jit_impl(curve, n: int, scan: bool, pallas: bool):
 
 
 def _wip_prove_known_scan_jit(curve, n: int):
-    """Single-proof whole-fold program. Defaults to the lax.scan variant:
-    its one-body compile is minutes cheaper than unrolling (the unrolled
-    single-proof compile exceeded 40 min on the TPU toolchain at n=1024)
-    and single-prove latency is dispatch-bound anyway. BPP_PROVER_SCAN=0
-    forces the unrolled variant."""
-    import os
+    """Single-proof whole-fold program. Default: the coefficient-form
+    prover (no generator folds; one batched multi-row MSM). The lax.scan
+    variant remains selectable — its one-body compile is minutes cheaper
+    than unrolling on the TPU toolchain (the unrolled single-proof compile
+    exceeded 40 min at n=1024); single-prove latency is dispatch-bound."""
+    variant = _prover_variant()
+    if variant == "coeff":
+        from .wip_coeff import wip_prove_coeff_jit
 
-    scan = os.environ.get("BPP_PROVER_SCAN", "1") == "1"
+        return wip_prove_coeff_jit(curve, n)
     return _wip_prove_known_jit_impl(
-        curve, n, scan, False if scan else _prover_pallas())
+        curve, n, variant == "scan",
+        False if variant == "scan" else _prover_pallas())
 
 
 @functools.lru_cache(maxsize=None)
@@ -524,15 +550,19 @@ def _wip_prove_known_vmap_jit_impl(curve, n: int, scan: bool, pallas: bool):
 def _wip_prove_known_scan_vmap_jit(curve, n: int):
     """Batched variant: K proofs' whole fold loops in one compiled program
     (pk generators broadcast, everything else carries a leading K axis).
-    Defaults to the UNROLLED true-width rounds — ~4x faster per proof than
-    the masked constant-shape scan (0.37 s vs 1.52 s at n=1024, K=16) and
-    its one-time compile amortizes over the serving batch; BPP_PROVER_SCAN=1
-    forces the scan variant."""
-    import os
+    Default: the coefficient-form prover (wip_coeff.py — all rounds' L/R
+    as one K·(2·logn+1)-row MSM over the shared pk bases, no generator
+    folds). BPP_PROVER=unrolled selects the true-width fold rounds
+    (~4x faster per proof than the masked constant-shape scan: 0.37 s vs
+    1.52 s at n=1024, K=16); BPP_PROVER=scan the constant-shape body."""
+    variant = _prover_variant()
+    if variant == "coeff":
+        from .wip_coeff import wip_prove_coeff_vmap_jit
 
-    scan = os.environ.get("BPP_PROVER_SCAN") == "1"
+        return wip_prove_coeff_vmap_jit(curve, n)
     return _wip_prove_known_vmap_jit_impl(
-        curve, n, scan, False if scan else _prover_pallas())
+        curve, n, variant == "scan",
+        False if variant == "scan" else _prover_pallas())
 
 
 def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:
