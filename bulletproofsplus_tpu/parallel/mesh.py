@@ -1,12 +1,16 @@
-"""Device mesh helpers.
+"""Device mesh helpers: single-process and multi-host (jax.distributed).
 
 The reference is single-process with no communication backend (SURVEY.md §5);
-the TPU-native equivalents are JAX named meshes with XLA collectives over
-ICI/DCN. Axis convention:
-  "dp" — data parallel: independent proofs / batch entries
-  "tp" — tensor parallel: one MSM's (scalar, point) pairs split across chips
+the TPU-native equivalents are JAX named meshes with XLA collectives — ICI
+within a slice, DCN across hosts under `jax.distributed`. Axis convention:
+  "dp" — data parallel: independent proofs / batch entries (spans hosts:
+         collectives ride DCN only for the final verdict gather)
+  "tp" — tensor parallel: one MSM's (scalar, point) pairs split across
+         chips (partial-point gather rides ICI within a host/slice)
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
@@ -24,4 +28,56 @@ def default_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
     dp = dp or 1
     assert n % dp == 0, "dp must divide device count"
     arr = np.array(devs[:n]).reshape(dp, n // dp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Join the multi-host runtime (idempotent).
+
+    Wraps jax.distributed.initialize; arguments default to the standard
+    env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+    or the cloud-TPU metadata that jax discovers on real pods). After this,
+    jax.devices() is GLOBAL (all hosts' chips) while
+    jax.local_devices() is this host's — global_mesh() lays dp across
+    hosts (DCN) and tp within (ICI).
+
+    MUST be the first JAX call in the process (before anything that
+    initializes the backend — jax.devices, device_put, and also
+    setup_compilation_cache, which probes the backend)."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:  # idempotence: already initialized
+        if "already" not in str(exc).lower():
+            raise
+
+
+def global_mesh(dp: int | None = None) -> Mesh:
+    """A ("dp", "tp") mesh over ALL processes' devices, host-major.
+
+    dp defaults to the process count, so each host owns whole dp rows:
+    batch-verification proof groups are host-local and only the per-group
+    verdict bits cross DCN; the tp axis (MSM pair sharding, an all-gather
+    of partial points per group) stays on intra-host ICI. dp must be a
+    multiple of the process count for that locality to hold (asserted)."""
+    devs = jax.devices()  # global, process-major order
+    n = len(devs)
+    procs = max(jax.process_count(), 1)
+    dp = dp or procs
+    assert n % dp == 0, "dp must divide global device count"
+    if dp % procs and procs > 1:
+        raise ValueError(
+            f"dp={dp} must be a multiple of process_count={procs} so dp "
+            "rows stay host-local (tp collectives on ICI, not DCN)")
+    arr = np.array(devs).reshape(dp, n // dp)
     return Mesh(arr, ("dp", "tp"))

@@ -19,6 +19,36 @@ from jax.sharding import PartitionSpec as P
 from ..msm.engine import _msm_jit, _next_pow2, tree_sum
 
 
+def _to_global(arr, mesh: Mesh, spec: P):
+    """Place an array on a (possibly multi-process) mesh sharding.
+
+    Single-process: plain device_put. Multi-process (jax.distributed):
+    every process holds the SAME host value (the protocol's inputs are
+    replicated host-side), so each contributes its addressable shards via
+    make_array_from_callback — the supported way to build a global array
+    whose sharding spans non-addressable devices.""" 
+    import numpy as _np
+
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        host = _np.asarray(arr)
+        return jax.make_array_from_callback(
+            host.shape, sh, lambda idx: host[idx])
+    return jax.device_put(arr, sh)
+
+
+def replicated_all_identity(curve, expected, mesh: Mesh) -> bool:
+    """jnp.all(is_identity(expected)) with a REPLICATED output over the
+    mesh — on a multi-process mesh the plain reduction's output would not
+    be fully addressable and bool() would fail; forcing replication emits
+    the cross-host all-gather instead."""
+    f = jax.jit(
+        lambda e: jnp.all(curve.is_identity(e)),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    return bool(f(expected))
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_msm_jit(curve, nbits: int, mesh: Mesh, axis: str):
     local = _msm_jit(curve, nbits)
@@ -98,10 +128,8 @@ def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
             (Bp, total, *points.shape[-2:]),
         )
         points = pp.at[:B, :n].set(points)
-    scalars = jax.device_put(
-        scalars, NamedSharding(mesh, P("dp", "tp", None)))
-    points = jax.device_put(
-        points, NamedSharding(mesh, P("dp", "tp", None, None)))
+    scalars = _to_global(scalars, mesh, P("dp", "tp", None))
+    points = _to_global(points, mesh, P("dp", "tp", None, None))
     return _sharded_msm_rows_jit(curve, nbits, mesh)(scalars, points)[:B]
 
 
@@ -145,9 +173,8 @@ def sharded_fixed_msm(curve, scalars, table, mesh: Mesh, axis: str = "tp",
     ndev = mesh.shape[axis]
     if table.shape[2] % ndev or scalars.shape[0] != table.shape[2]:
         raise ValueError("table point axis must divide the mesh axis")
-    scalars = jax.device_put(scalars, NamedSharding(mesh, P(axis, None)))
-    table = jax.device_put(
-        table, NamedSharding(mesh, P(None, None, axis, None, None)))
+    scalars = _to_global(scalars, mesh, P(axis, None))
+    table = _to_global(table, mesh, P(None, None, axis, None, None))
     return _sharded_fixed_msm_jit(curve, nbits, mesh, axis)(scalars, table)
 
 
@@ -171,6 +198,6 @@ def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
         points = jnp.concatenate(
             [points, curve.identity_like((total - n,))], axis=0
         )
-    scalars = jax.device_put(scalars, NamedSharding(mesh, P(axis, None)))
-    points = jax.device_put(points, NamedSharding(mesh, P(axis, None, None)))
+    scalars = _to_global(scalars, mesh, P(axis, None))
+    points = _to_global(points, mesh, P(axis, None, None))
     return _sharded_msm_jit(curve, nbits, mesh, axis)(scalars, points)

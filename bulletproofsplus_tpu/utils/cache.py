@@ -37,10 +37,18 @@ def setup_compilation_cache(path: str | None = None) -> None:
     # jax's cache key — a pinned process can deserialize an executable that
     # was codegen'd unpinned (AVX-512 on this VM) and segfault inside
     # cache_read. Partition CPU entries by ISA tag; TPU keeps the root dir.
+    # The platform is read from jax_platforms config / env WITHOUT touching
+    # jax.default_backend(): probing would initialize the XLA backend, and
+    # this function runs at package import — before a multi-host process
+    # has had the chance to call jax.distributed.initialize() (which must
+    # be the first backend-initializing call).
+    plats = ""
     try:
-        backend = jax.default_backend()
+        plats = jax.config.jax_platforms or ""
     except Exception:
-        backend = "unknown"
+        pass
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    backend = "cpu" if "cpu" in plats else "accel"
     if backend == "cpu":
         isa = "native"
         for tok in os.environ.get("XLA_FLAGS", "").split():
