@@ -27,6 +27,7 @@ from .protocol import (
     RangeProver,
     batch_prove,
     batch_verify,
+    batch_verify_identify,
     prove,
     stack_commitments,
     verify,
@@ -56,6 +57,7 @@ __all__ = [
     "VerificationError",
     "batch_prove",
     "batch_verify",
+    "batch_verify_identify",
     "curve_ops",
     "errors",
     "prove",

@@ -1,4 +1,4 @@
-from .batch import batch_verify
+from .batch import batch_verify, batch_verify_identify
 from .batchprove import batch_prove
 from .publickey import PublicKey
 from .range import (
@@ -22,6 +22,7 @@ __all__ = [
     "WipProof",
     "batch_prove",
     "batch_verify",
+    "batch_verify_identify",
     "prove",
     "stack_commitments",
     "verification_inputs",

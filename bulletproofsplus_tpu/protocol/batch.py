@@ -300,5 +300,54 @@ def _batch_verify_dp(curve, pk, inp, W, Wg, K: int, dp: int, mesh) -> None:
     points = jnp.concatenate(
         [uniq_p, jnp.broadcast_to(shared, (dp, *shared.shape))], axis=1)
     expected = sharded_msm_rows(curve, fn.from_mont(scalars), points, mesh)
-    if not bool(jnp.all(curve.is_identity(expected))):
+    from ..parallel.sharded_msm import replicated_all_identity
+
+    if not replicated_all_identity(curve, expected, mesh):
         raise VerificationError("batch verification failed")
+
+
+def batch_verify_identify(
+    curve,
+    pk,
+    n: int,
+    proofs,
+    commitment_lists,
+    transcript_factory=None,
+    mesh=None,
+    rng=None,
+) -> List[int]:
+    """Fault-isolating batch verification: verify the whole batch in one
+    RLC mega-MSM; on failure, BISECT by re-dispatching sub-batches until
+    the offending proofs are identified. Returns the sorted indices of bad
+    proofs ([] = every proof verified).
+
+    This is the per-shard failure re-dispatch SURVEY.md §5 asks of the
+    batch verifier: a failed group costs O(bad · log K) extra group
+    dispatches instead of failing the whole batch opaquely, and healthy
+    shards are certified by their own passing sub-batch.
+
+    transcript_factory: index → FRESH transcript for that proof (needed
+    because transcripts are stateful and each re-dispatch replays them);
+    None = the secure ShaTranscript default, minted fresh per dispatch.
+    """
+    if not isinstance(proofs, ProofBatch):
+        proofs = ProofBatch.from_proofs(proofs)
+    V_all = stack_commitments(curve, commitment_lists)
+
+    def trs(lo, hi):
+        if transcript_factory is None:
+            return None
+        return [transcript_factory(i) for i in range(lo, hi)]
+
+    def rec(lo: int, hi: int) -> List[int]:
+        try:
+            batch_verify(curve, pk, n, proofs[lo:hi], V_all[lo:hi],
+                         transcripts=trs(lo, hi), mesh=mesh, rng=rng)
+            return []
+        except VerificationError:
+            if hi - lo == 1:
+                return [lo]
+            mid = (lo + hi) // 2
+            return rec(lo, mid) + rec(mid, hi)
+
+    return rec(0, len(proofs))

@@ -149,3 +149,29 @@ def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert bool(out) in (True, False)
+
+
+def test_batch_verify_identify_bad_proof(proof_batch):
+    """Per-shard failure re-dispatch (SURVEY.md §5): a batch with one
+    tampered proof must FAIL as a whole and the bisecting re-dispatch must
+    name exactly the offending index."""
+    import jax.numpy as jnp
+
+    from bulletproofsplus_tpu.protocol import batch_verify_identify
+
+    curve, pk, proofs, commits = proof_batch
+    import dataclasses
+
+    bad_idx = 2
+    bad = list(proofs)
+    bad[bad_idx] = dataclasses.replace(
+        bad[bad_idx],
+        proof=dataclasses.replace(
+            bad[bad_idx].proof,
+            r_prime=jnp.asarray(curve.fn.encode(987654321)),
+        ),
+    )
+    got = batch_verify_identify(curve, pk, 8, bad, commits)
+    assert got == [bad_idx]
+    # clean batch → no indices
+    assert batch_verify_identify(curve, pk, 8, proofs, commits) == []
