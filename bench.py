@@ -6,6 +6,15 @@ edwards25519 — verify is one 2·mn + 2·log2(mn) + m + 5 ≈ 2100-point MSM
 (reference range/mod.rs:479-509). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "verify/s", "vs_baseline": N, ...}
 
+Transcript mode: BPP_BENCH_MODE=deterministic (default; the reference's
+replay constants — comparable across rounds) | sha (the sound Fiat-Shamir
+mode, now the library default) | merlin. The mode's transcripts are passed
+explicitly because the library API is secure-by-default.
+
+Speed-of-light accounting (BASELINE.md): the analytic point-op count of the
+verification MSMs divided by measured wall time, against the per-chip
+multiplication-bound model in utils/metrics.py → point_ops_per_s + sol_pct.
+
 vs_baseline is the speedup over the reference semantics executed by the
 pure-Python golden oracle on this machine's host CPU (the Rust reference
 does not build here — its mcl C++ dependency is git-ignored and vendored
@@ -31,6 +40,7 @@ CURVE = os.environ.get("BPP_BENCH_CURVE", "edwards25519")
 N_BITS = int(os.environ.get("BPP_BENCH_N", "64"))
 M_AGG = int(os.environ.get("BPP_BENCH_M", "16"))
 REPS = int(os.environ.get("BPP_BENCH_REPS", "3"))
+MODE = os.environ.get("BPP_BENCH_MODE", "deterministic")
 # Batched verification (the TPU-idiomatic serving shape): fold BATCH proofs
 # into one random-linear-combination mega-MSM (protocol/batch.py) — shared
 # pk generators merge, so marginal cost per proof is ~39 MSM lanes instead
@@ -38,6 +48,29 @@ REPS = int(os.environ.get("BPP_BENCH_REPS", "3"))
 BATCH = int(os.environ.get("BPP_BENCH_BATCH", "128"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "golden_baseline.json")
+
+
+def make_transcript(curve, m):
+    from bulletproofsplus_tpu import (
+        DeterministicTranscript,
+        ShaTranscript,
+    )
+
+    if MODE == "deterministic":
+        return DeterministicTranscript(m)
+    if MODE == "merlin":
+        from bulletproofsplus_tpu.merlin import MerlinBppTranscript
+
+        return MerlinBppTranscript(m)
+    return ShaTranscript(m)
+
+
+def make_rng(curve, m):
+    from bulletproofsplus_tpu import DeterministicRng, SystemRng
+
+    if MODE == "deterministic":
+        return DeterministicRng(m)
+    return SystemRng(curve.fn.p)
 
 
 def golden_verify_s() -> float:
@@ -71,9 +104,31 @@ def golden_verify_s() -> float:
     return verify_s
 
 
+def batch_verify_sol(curve, n, m, K, seconds):
+    """Speed-of-light report for the batch-verification point work: fixed
+    generator lanes (2mn, BGMW c=4 tables when enabled) + per-proof unique
+    lanes (K·(2·log2(mn)+m+3)+2, windowed ladder)."""
+    from bulletproofsplus_tpu.msm.fixed import fixed_base_ok
+    from bulletproofsplus_tpu.utils.metrics import (
+        fixed_point_ops,
+        ladder_point_ops,
+        sol_report,
+    )
+
+    mn = n * m
+    nbits = curve.fn.order_bits
+    var_lanes = K * (2 * (mn.bit_length() - 1) + m + 3) + 2
+    ops = ladder_point_ops(var_lanes, nbits)
+    if fixed_base_ok(curve, 2 * mn):
+        f = fixed_point_ops(2 * mn, nbits)
+    else:
+        f = ladder_point_ops(2 * mn, nbits)
+    ops = {k: ops[k] + f[k] for k in ops}
+    return sol_report(curve, ops, seconds)
+
+
 def main():
     from bulletproofsplus_tpu import (
-        DeterministicTranscript,
         PublicKey,
         RangeProver,
         curve_ops,
@@ -96,24 +151,31 @@ def main():
     # NOTE: timings force a device->host fetch (np.asarray), because the
     # axon remote backend's block_until_ready returns before execution —
     # naive timings under-report by orders of magnitude.
-    proof = prove(curve, pk, n, prover)  # warmup (persistent compile cache)
+    def prove_one():
+        return prove(curve, pk, n, prover,
+                     transcript=make_transcript(curve, m),
+                     rng=make_rng(curve, m))
+
+    proof = prove_one()  # warmup (persistent compile cache)
     np.asarray(proof.proof.r_prime)
     ptimes = []
     for _ in range(REPS):
         t0 = time.time()
-        proof = prove(curve, pk, n, prover)
+        proof = prove_one()
         np.asarray(proof.proof.r_prime)
         np.asarray(proof.proof.L_vec)
         ptimes.append(time.time() - t0)
     prove_s = min(ptimes)
 
-    # warmup (compiles cached across runs via persistent cache)
-    verify(curve, proof, pk, n, prover.commitment_vec)
+    def verify_one():
+        verify(curve, proof, pk, n, prover.commitment_vec,
+               transcript=make_transcript(curve, m))
 
+    verify_one()  # warmup (compiles cached across runs via persistent cache)
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        verify(curve, proof, pk, n, prover.commitment_vec)
+        verify_one()
         times.append(time.time() - t0)
     single_verify_s = min(times)
 
@@ -135,42 +197,60 @@ def main():
             [jnp.stack(p.commitment_vec) for p in provers]
         )
 
-        pbatch = batch_prove(curve, pk, n, provers)  # warmup
-        np.asarray(pbatch.r_prime)
+        def tr_list():
+            return [make_transcript(curve, m) for _ in range(BATCH)]
+
+        def rng_list():
+            return [make_rng(curve, m) for _ in range(BATCH)]
+
+        pbatch = batch_prove(curve, pk, n, provers,
+                             transcripts=tr_list(), rngs=rng_list())
+        np.asarray(pbatch.r_prime)  # warmup
         bptimes = []
         for _ in range(REPS):
             t0 = time.time()
-            pbatch = batch_prove(curve, pk, n, provers)
+            pbatch = batch_prove(curve, pk, n, provers,
+                                 transcripts=tr_list(), rngs=rng_list())
             np.asarray(pbatch.r_prime)
             np.asarray(pbatch.L_vec)
             bptimes.append(time.time() - t0)
         prove_s_per_proof = min(bptimes) / BATCH
 
-        batch_verify(curve, pk, n, pbatch, commits)  # warmup
+        batch_verify(curve, pk, n, pbatch, commits,
+                     transcripts=tr_list())  # warmup
         btimes = []
         for _ in range(REPS):
             t0 = time.time()
-            batch_verify(curve, pk, n, pbatch, commits)
+            batch_verify(curve, pk, n, pbatch, commits,
+                         transcripts=tr_list())
             btimes.append(time.time() - t0)
-        verify_s_per_proof = min(btimes) / BATCH
+        batch_verify_s = min(btimes)
+        verify_s_per_proof = batch_verify_s / BATCH
+        sol = batch_verify_sol(curve, n, m, BATCH, batch_verify_s)
     else:
         verify_s_per_proof = single_verify_s
         prove_s_per_proof = prove_s
+        sol = batch_verify_sol(curve, n, m, 1, single_verify_s)
 
     base_s = golden_verify_s()
     value = 1.0 / verify_s_per_proof
     print(json.dumps({
-        "metric": f"range-proof verify/s per chip ({CURVE}, n={n}, m={m})",
+        "metric": f"range-proof verify/s per chip ({CURVE}, n={n}, m={m}, "
+                  f"{MODE})",
         "value": round(value, 4),
         "unit": "verify/s",
         "vs_baseline": round(value * base_s, 3),
         "extra": {
+            "mode": MODE,
             "batch": BATCH,
             "single_verify_s": round(single_verify_s, 4),
             "prove_s": round(prove_s, 3),
             "batch_prove_s_per_proof": round(prove_s_per_proof, 4),
             "setup_s": round(setup_s, 3),
             "golden_verify_s": round(base_s, 3),
+            "point_ops_per_s": sol["point_ops_per_s"],
+            "sol_pct": sol["sol_pct"],
+            "sol_point_ops": sol["point_ops"],
             "backend": __import__("jax").default_backend(),
         },
     }))

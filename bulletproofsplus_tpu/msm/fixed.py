@@ -143,6 +143,9 @@ def fixed_msm(curve, scalars, table, nbits: int | None = None):
     lookup-accumulate kernel, which streams the table through VMEM once
     instead of materializing the select-tree levels in HBM)."""
     nbits = nbits or curve.fn.order_bits
+    from ..utils.metrics import METRICS
+
+    METRICS.msm_ops(int(scalars.shape[0]), nbits, "fixed")
     if table.ndim == 2:
         from ..curves.pallas_curve import fixed_msm_kernel
 

@@ -95,8 +95,11 @@ def _pippenger_jit(curve, nbits: int, R: int, K: int, steps: int, c: int):
             # slices and need identical operand shapes
             new = curve.add(cur, jnp.broadcast_to(P[:, :, None], cur.shape))
             # distinct (r, k, w) per lane → conflict-free scatter; bucket 0
-            # collects the dig==0 (and padding) lanes and is dropped below
-            return bk.at[ri, ki, wi, dig].set(new), None
+            # collects the dig==0 (and padding) lanes and is dropped below.
+            # unique_indices + promise_in_bounds let XLA lower the scatter
+            # without the serializing dedup/clamp paths.
+            return bk.at[ri, ki, wi, dig].set(
+                new, unique_indices=True, mode="promise_in_bounds"), None
 
         xs = (jnp.moveaxis(digits, 2, 0), jnp.moveaxis(points, 2, 0))
         buckets, _ = lax.scan(step, buckets, xs)
@@ -167,6 +170,9 @@ def msm_pippenger(curve, scalars, points, nbits: int | None = None):
         R *= d
     K, steps = _pick_grid(N, R, nwin)
     Np = K * steps
+    from ..utils.metrics import METRICS
+
+    METRICS.msm_ops(R * Np, nbits, "pippenger")
 
     scalars = scalars.reshape(R, N, -1)
     points = points.reshape(R, N, *points.shape[-2:])
@@ -187,11 +193,18 @@ def msm_pippenger(curve, scalars, points, nbits: int | None = None):
 
 
 def pippenger_enabled() -> bool:
-    """Routing default for engine.msm: opt-in/out via BPP_PIPPENGER."""
+    """Routing default: opt-in via BPP_PIPPENGER=1. Measured on TPU v5e
+    (ed25519, 253-bit scalars): 66-75 ms vs the whole-ladder Pallas
+    kernel's 56 ms at N=4096, 257 vs 255 ms at N=32768 — the scatter-scan
+    body is bound by a ~0.1 ms/iteration launch overhead (constant in both
+    slice count and bucket-state size), so the 6-8x point-op reduction
+    does not yet surface as wall-clock. The engine stays differentially
+    tested as the fallback for shapes where the ladder's per-lane
+    doublings dominate (very wide single MSMs on future backends)."""
     env = os.environ.get("BPP_PIPPENGER")
     if env is not None:
         return env != "0"
-    return True
+    return False
 
 
 def pippenger_min_lanes() -> int:
