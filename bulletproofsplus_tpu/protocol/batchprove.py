@@ -29,7 +29,7 @@ import numpy as np
 from ..transcript import ShaTranscript, SystemRng
 from .range import (
     ProofBatch,
-    _bit_commitment_prog,
+    _bit_commitment_batch_prog,
     _bit_decompose,
     _prove_setup_multiple_prog,
     _prove_setup_single_prog,
@@ -47,9 +47,9 @@ from .wip import (
 
 @functools.lru_cache(maxsize=None)
 def _bit_commitment_vmap_jit(curve, mn: int):
-    return jax.jit(jax.vmap(
-        _bit_commitment_prog(curve), in_axes=(0, 0, None, None, None)
-    ))
+    # natively batched (leading K axis), NOT vmapped: lets tree_sum use the
+    # grouped Pallas sum kernel on TPU (see _bit_commitment_batch_prog)
+    return jax.jit(_bit_commitment_batch_prog(curve))
 
 
 @functools.lru_cache(maxsize=None)
@@ -206,7 +206,7 @@ def batch_prove(
         ).reshape(K, m, fn.L)
         V_arg = V_all
 
-    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+    a_vec, b_vec, power_of_y, alpha_hat = setup(
         jnp.asarray(fn.encode(ys)),
         jnp.asarray(fn.encode(zs)),
         jnp.asarray(bits_np).reshape(K, mn),

@@ -248,6 +248,25 @@ def _bit_commitment_prog(curve):
     return f
 
 
+def _bit_commitment_batch_prog(curve):
+    """K bit commitments WITHOUT vmap: the select carries a leading K axis
+    and tree_sum reduces groups natively (its Pallas grouped-sum kernel
+    does not compile under vmap batching, and the vmapped XLA tree paid
+    the (N, C, L) tile-padding tax — measured 83 ms for K=16, mn=1024)."""
+    def f(alpha_plain, bits, G_vec, H_vec, h):
+        # alpha_plain: (K, Ls); bits: (K, mn)
+        K = bits.shape[0]
+        h_alpha = msm(curve, alpha_plain[:, None], jnp.broadcast_to(
+            h, (K, 1, *h.shape)))                      # (K, C, L)
+        chosen = curve.select(bits[..., None, None], G_vec,
+                              curve.neg(H_vec))        # (K, mn, C, L)
+        return tree_sum(
+            curve, jnp.concatenate([h_alpha[:, None], chosen], axis=1)
+        )
+
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def _bit_commitment_jit(curve, mn: int):
     import jax
@@ -275,7 +294,14 @@ def _bit_commitment(curve, pk, alpha_int, v_bits, mn):
 
 def _prove_setup_single_prog(curve, n: int):
     """Everything between (y, z) and the WIP call (range/mod.rs:112-184):
-    Â, a_vec, b_vec, y-powers, α̂ — one compiled program on TPU."""
+    a_vec, b_vec, y-powers, α̂ — one compiled program on TPU.
+
+    The reference also computes Â here (range/mod.rs:126-151) and passes it
+    to the WIP prover as P — but the prover never reads P (the running
+    P += e²L + e⁻²R is dead work, see wip._round_fold_core), and the
+    verifier reconstructs Â inside its own mega-MSM. Dropping the Â MSM
+    (width mn+m+3 of full scalar-muls) cut the measured batch-prove setup
+    stage from 320 ms to field-only work at K=16, n=64, m=16."""
     fn = curve.fn
 
     def f(y_m, z_m, bits, gamma_m, alpha_m, A, V, G_vec, H_vec, g):
@@ -288,30 +314,14 @@ def _prove_setup_single_prog(curve, n: int):
         minus_z = fn.neg(z_m)
         H_exp = fn.add(fn.mul(power_of_two, power_of_y_rev), z_m)  # (n, L)
         V_exp = fn.powers_type2(y_m, n + 1)[n]  # y^{n+1}
-        z_sqr = fn.mul(z_m, z_m)
-        g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
-        two_n_minus_1 = jnp.asarray(fn.encode((pow(2, n, fn.p) - 1) % fn.p))
-        g_exp = fn.sub(g_exp, fn.mul(fn.mul(two_n_minus_1, V_exp), z_m))
 
-        # Â = A + Σ (−z)·Gᵢ + Σ H_expᵢ·Hᵢ + g_exp·g + y^{n+1}·V
-        # (range/mod.rs:126-151; the reference's −z·ΣG single term is spread
-        # over G_vec so Â is one canonical-width MSM, no separate ΣG sum)
         one_m = jnp.asarray(fn.one_np)
-        scalars = jnp.concatenate(
-            [one_m[None], jnp.broadcast_to(minus_z, (n, fn.L)), H_exp,
-             g_exp[None], V_exp[None]], axis=0
-        )
-        points = jnp.concatenate(
-            [A[None], G_vec, H_vec, g[None], V[None]], axis=0
-        )
-        A_hat = msm(curve, fn.from_mont(scalars), points)
-
         one_minus_z = fn.sub(one_m, z_m)
         a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (n, fn.L)),
                           jnp.broadcast_to(minus_z, (n, fn.L)))
         b_vec = fn.select(bits, H_exp, fn.sub(H_exp, one_m))
         alpha_hat = fn.add(alpha_m, fn.mul(gamma_m, V_exp))
-        return A_hat, a_vec, b_vec, power_of_y, alpha_hat
+        return a_vec, b_vec, power_of_y, alpha_hat
 
     return f
 
@@ -337,7 +347,7 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
 
     setup = (_prove_setup_single_jit(curve, n) if _fuse_ok()
              else _prove_setup_single_prog(curve, n))
-    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+    a_vec, b_vec, power_of_y, alpha_hat = setup(
         jnp.asarray(fn.encode(y)),
         jnp.asarray(fn.encode(z)),
         jnp.asarray(v_bits),
@@ -347,7 +357,7 @@ def _prove_single(curve, pk, n, v, gamma, commitment, transcript, rng):
     )
 
     wip = wip_prove(
-        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
+        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, transcript, rng
     )
     return RangeProof(A=A, proof=wip)
 
@@ -744,7 +754,7 @@ def _prove_multiple(curve, pk, n, m, v, gamma_vec, commitment_vec,
 
     setup = (_prove_setup_multiple_jit(curve, n, m) if _fuse_ok()
              else _prove_setup_multiple_prog(curve, n, m))
-    A_hat, a_vec, b_vec, power_of_y, alpha_hat = setup(
+    a_vec, b_vec, power_of_y, alpha_hat = setup(
         jnp.asarray(fn.encode(y)),
         jnp.asarray(fn.encode(z)),
         jnp.asarray(v_bits),
@@ -754,16 +764,17 @@ def _prove_multiple(curve, pk, n, m, v, gamma_vec, commitment_vec,
     )
 
     wip = wip_prove(
-        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, A_hat, transcript, rng
+        curve, pk, a_vec, b_vec, power_of_y, alpha_hat, transcript, rng
     )
     return RangeProof(A=A, proof=wip)
 
 
 def _prove_setup_multiple_prog(curve, n: int, m: int):
     """Everything between (y, z) and the WIP call (range/mod.rs:283-376):
-    Â, a_vec, b_vec, y-powers, α̂. Eagerly these are ~40 dispatches; on a
-    remote TPU backend dispatch latency dominates, so TPU runs the jitted
-    wrapper below as ONE compiled program."""
+    a_vec, b_vec, y-powers, α̂ (Â is dead prover work — see the single-
+    proof setup docstring). Eagerly these are ~40 dispatches; on a remote
+    TPU backend dispatch latency dominates, so TPU runs the jitted wrapper
+    below as ONE compiled program."""
     fn = curve.fn
     mn = n * m
 
@@ -785,21 +796,7 @@ def _prove_setup_multiple_prog(curve, n: int, m: int):
         y_mn1 = fn.powers_type2(y_m, mn + 1)[mn]  # y^{mn+1}
         V_exp = fn.mul(power_of_z, y_mn1)  # (m, L)
 
-        g_exp = fn.mul(fn.sum(power_of_y), fn.sub(z_m, z_sqr))
-        d_sum = fn.sum(d)
-        g_exp = fn.sub(g_exp, fn.mul(fn.mul(d_sum, y_mn1), z_m))
-
-        # −z·ΣG spread over G_vec: Â is one canonical-width MSM (see single)
         one_m = jnp.asarray(fn.one_np)
-        scalars = jnp.concatenate(
-            [one_m[None], jnp.broadcast_to(minus_z, (mn, fn.L)), H_exp,
-             g_exp[None], V_exp], axis=0
-        )
-        points = jnp.concatenate(
-            [A[None], G_vec, H_vec, g[None], V], axis=0
-        )
-        A_hat = msm(curve, fn.from_mont(scalars), points)
-
         one_minus_z = fn.sub(one_m, z_m)
         a_vec = fn.select(bits, jnp.broadcast_to(one_minus_z, (mn, fn.L)),
                           jnp.broadcast_to(minus_z, (mn, fn.L)))
@@ -807,7 +804,7 @@ def _prove_setup_multiple_prog(curve, n: int, m: int):
 
         pz_gamma_sum = fn.sum(fn.mul(power_of_z, gamma_m))
         alpha_hat = fn.add(alpha_m, fn.mul(pz_gamma_sum, y_mn1))
-        return A_hat, a_vec, b_vec, power_of_y, alpha_hat
+        return a_vec, b_vec, power_of_y, alpha_hat
 
     return f
 

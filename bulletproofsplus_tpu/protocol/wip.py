@@ -448,21 +448,32 @@ def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
             # fold (wip:147-164) at true width
             a = fn.add(fn.mul(a1, e_m), fn.mul(a2, fn.mul(ynhat, e_inv)))
             b = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
-            fs = jnp.broadcast_to(
-                fn.from_mont(jnp.stack(
-                    [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv]
-                ))[:, None, :],
-                (4, half, fn.L),
-            )
-            fp = jnp.stack([G1, G2, H1, H2])
+            fold4 = fn.from_mont(jnp.stack(
+                [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv]))
             if pallas and _ladder_ok(curve) and 4 * half >= 1024:
-                from ..curves.pallas_curve import ladder_scalar_mul
+                from ..curves.pallas_curve import joint_ladder_msm_grouped
 
-                fg = ladder_scalar_mul(curve, fs, fp, nbits)
+                # the fold G' = e⁻¹·G1[i] + ŷ⁻¹e·G2[i] (and the H twin) is
+                # exactly a J=2 joint-ladder group per output: the pair
+                # shares its ~253 doublings and the post-ladder adds vanish
+                pair_p = jnp.concatenate([
+                    jnp.stack([G1, G2], axis=1),
+                    jnp.stack([H1, H2], axis=1),
+                ]).reshape(4 * half, *G1.shape[-2:])
+                pair_s = jnp.concatenate([
+                    jnp.broadcast_to(fold4[:2][None], (half, 2, fn.L)),
+                    jnp.broadcast_to(fold4[2:][None], (half, 2, fn.L)),
+                ]).reshape(4 * half, fn.L)
+                out = joint_ladder_msm_grouped(
+                    curve, pair_s, pair_p, nbits, 2)      # (2·half, C, L)
+                G, H = out[:half], out[half:]
             else:
+                fs = jnp.broadcast_to(
+                    fold4[:, None, :], (4, half, fn.L))
+                fp = jnp.stack([G1, G2, H1, H2])
                 fg = sm(fs, fp)
-            G = curve.add(fg[0], fg[1])
-            H = curve.add(fg[2], fg[3])
+                G = curve.add(fg[0], fg[1])
+                H = curve.add(fg[2], fg[3])
             alpha = fn.add(
                 alpha, fn.add(fn.mul(es_sqr[r], dL), fn.mul(es_inv_sqr[r], dR)))
 
@@ -510,7 +521,11 @@ def _prover_variant() -> str:
         return "scan"
     if legacy == "0":
         return "unrolled"
-    return "coeff"
+    # default: unrolled fold rounds. The coefficient prover becomes the
+    # default once its multi-row fixed-base MSM backend (lookup-add Pallas
+    # kernel) lands — with the plain ladder backend its 2·logn rows of
+    # width mn+2 cost ~2.6x the fold rounds' shrinking widths.
+    return "unrolled"
 
 
 @functools.lru_cache(maxsize=None)
@@ -565,9 +580,11 @@ def _wip_prove_known_scan_vmap_jit(curve, n: int):
         False if variant == "scan" else _prover_pallas())
 
 
-def wip_prove(curve, pk, a, b, power_of_y, alpha, P, transcript, rng) -> WipProof:
+def wip_prove(curve, pk, a, b, power_of_y, alpha, transcript, rng) -> WipProof:
     """Fold loop (wip:36-227). a, b, power_of_y: (n, L) Montgomery arrays;
-    alpha: (L,); P: (C, L). Challenges/blinds come from host transcript/rng.
+    alpha: (L,). Challenges/blinds come from host transcript/rng. (The
+    reference passes P = Â in as well, wip:44 — dead: the prover's running
+    P += e²L + e⁻²R at wip:137-142 is never read, so neither is P.)
 
     Two execution modes:
     - challenges known ahead (DeterministicTranscript replay): the whole

@@ -2,7 +2,7 @@
 """Stage-by-stage timing of batch proving on the real chip.
 
 Breaks the K-proof batch-prove wall time into: bit commitment (vmapped A
-program), host y/z challenges, the vmapped setup program (A_hat, a/b
+program), host y/z challenges, the vmapped setup program (a/b
 vectors), and the whole-fold program (unrolled rounds; the prover's hot
 path — reference wip:79-172), with the Pallas ladder on and off. Each
 timing forces a device->host fetch (the axon remote backend's
@@ -95,7 +95,8 @@ def main():
     print(f"bit commitment A: {tb * 1e3:.1f} ms")
     A_all = bit_commit()
 
-    # stage 2: setup program (A_hat + a/b vectors + alpha_hat)
+    # stage 2: setup program (a/b vectors + alpha_hat; A_hat is dead
+    # prover work and no longer computed)
     yz = [t_.challenge_yz(curve, list(p.commitment_vec), A_all[i])
           for i, (t_, p) in enumerate(zip(transcripts, provers))]
     ys = [y % fn.p for y, _ in yz]
@@ -115,8 +116,8 @@ def main():
         return out
 
     ts_ = t(run_setup)
-    print(f"setup (A_hat, a/b, y-powers): {ts_ * 1e3:.1f} ms")
-    A_hat, a_vec, b_vec, power_of_y, alpha_hat = run_setup()
+    print(f"setup (a/b, y-powers): {ts_ * 1e3:.1f} ms")
+    a_vec, b_vec, power_of_y, alpha_hat = run_setup()
 
     # stage 3: the whole-fold program, Pallas ladder off vs on
     dLs = np.empty((K, logn), dtype=object)
