@@ -62,8 +62,22 @@ class EdwardsOps:
         return (x, y)
 
     def decode_points(self, arr):
+        """Batched decode: one host batch inversion for all Z coordinates
+        (fields.ops.batch_modinv) instead of a Fermat pow per point."""
+        from ..fields.ops import batch_modinv
+
         a = np.asarray(arr)
-        return [self.decode_point(a[i]) for i in range(a.shape[0])]
+        p = self.fp.p
+        xs = self.fp.decode(a[:, 0, :])
+        ys = self.fp.decode(a[:, 1, :])
+        zs = self.fp.decode(a[:, 2, :])
+        zi = batch_modinv(zs, p)
+        out = []
+        for i in range(a.shape[0]):
+            x = xs[i] * zi[i] % p
+            y = ys[i] * zi[i] % p
+            out.append(None if (x == 0 and y == 1) else (x, y))
+        return out
 
     # ------------------------------------------------------------------
     # core ops

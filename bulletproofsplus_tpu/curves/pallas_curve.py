@@ -436,3 +436,301 @@ def ladder_scalar_mul(curve, scalars, points, nbits: int,
     out_t = _ladder_call(curve, nbits, interpret)(pts_t, digits.T)
     out = out_t.reshape(NC, L, Np).transpose(2, 0, 1)  # (Np, NC, L)
     return out[:N].reshape(*lead, NC, L)
+
+
+@functools.lru_cache(maxsize=None)
+def _sum_points_call(curve, bpg: int, interpret=False):
+    """Grouped point-sum kernel: reduce the lane axis of (CC, G·bpg·BLOCK)
+    limb-major points to (CC, G·BLOCK) partials, bpg blocks per group.
+
+    TPU grids run sequentially, so each group's bpg blocks revisit ONE
+    (CC, BLOCK) output window and accumulate with a single lazy add per
+    block — HBM traffic is exactly one pass over the points. XLA's halving
+    tree (engine.tree_sum) re-materializes every level through HBM and
+    dispatches ~log2(N) point-add op-chains; for the bit-commitment sum
+    (K=16, mn=1024: measured 83 ms) and the post-ladder MSM reduction this
+    kernel reduces each group fully in-register (rotate-add chain)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = curve.fp.spec
+    L = spec.num_limbs
+    NC, add, _dbl, const_np, ident_fn = _family(curve)
+    CC = NC * L
+
+    def kernel(p_ref, np_ref, one_ref, cst_ref, pts_ref, o_ref):
+        from ..fields.pallas_ops import LazyVal
+
+        f = LimbMajorField(spec, p_ref[...], np_ref[...])
+        pb_store = (2 if NC == 4 else 4) if f.lazy else 1
+        one = f.wrap(one_ref[...], 1)
+        cst = f.wrap(cst_ref[...], 1)
+        zero = LazyVal(one.t * 0, 0, 0, 0)
+        ident = ident_fn(zero, one)
+
+        i = pl.program_id(0)
+        P = tuple(f.wrap(c, 1) for c in _unpack(pts_ref[...], L, NC))
+        ident_packed = jnp.concatenate(
+            [f.store_norm(c, pb_store) for c in ident], axis=0)
+        first = (i % bpg) == 0
+        acc_t = jnp.where(first, ident_packed, o_ref[...])
+        acc = tuple(f.load(c, pb_store) for c in _unpack(acc_t, L, NC))
+        nxt = add(f, acc, P, cst)
+
+        is_last = (i % bpg) == bpg - 1
+
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            o_ref[...] = jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in nxt], axis=0)
+
+        @pl.when(is_last)
+        def _():
+            # cross-lane reduction INSIDE the kernel: log2(BLOCK) rotate-adds
+            # leave every lane holding the group total (the XLA tail tree
+            # this replaces cost ~2 ms per halving level from the (N, C, L)
+            # tile-padding tax; here it is 9 VMEM-resident adds)
+            cur = nxt
+            sh = BLOCK // 2
+            while sh >= 1:
+                packed = jnp.concatenate(
+                    [f.store_norm(c, pb_store) for c in cur], axis=0)
+                rolled = pltpu.roll(packed, sh, 1)
+                rot = tuple(f.load(c, pb_store)
+                            for c in _unpack(rolled, L, NC))
+                cur = add(f, cur, rot, cst)
+                sh //= 2
+            o_ref[...] = jnp.concatenate(
+                [f.canon(c).t for c in cur], axis=0)
+
+    @jax.jit
+    def run(pts_t):  # (CC, G·bpg·BLOCK) → (CC, G·BLOCK)
+        lanes = pts_t.shape[1]
+        G = lanes // (bpg * BLOCK)
+        fp = curve.fp
+
+        def bc(arr_np):
+            return jnp.broadcast_to(
+                jnp.asarray(np.asarray(arr_np))[:, None], (L, BLOCK)
+            )
+
+        consts = [bc(spec.p_limbs), bc(spec.nprime_limbs), bc(fp.one_np),
+                  bc(const_np)]
+        cspec = pl.BlockSpec((L, BLOCK), lambda i: (0, 0))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((CC, G * BLOCK), pts_t.dtype),
+            grid=(G * bpg,),
+            in_specs=[cspec, cspec, cspec, cspec,
+                      pl.BlockSpec((CC, BLOCK), lambda i: (0, i))],
+            out_specs=pl.BlockSpec((CC, BLOCK), lambda i: (0, i // bpg)),
+            interpret=interpret,
+        )(*consts, pts_t)
+
+    return run
+
+
+def sum_points_grouped(curve, points, interpret: bool = False):
+    """Σ over axis -3 via the grouped accumulate kernel (fully reduced
+    in-kernel). points: (..., W, C, L) → (..., C, L); leading axes are
+    groups."""
+    fp = curve.fp
+    L = fp.L
+    NC = getattr(curve, "COORDS", 3)
+    lead = points.shape[:-3]
+    W = points.shape[-3]
+    G = 1
+    for d in lead:
+        G *= d
+    bpg = max(1, -(-W // BLOCK))
+    Wp = bpg * BLOCK
+    pts = points.reshape(G, W, NC, L)
+    if Wp != W:
+        ident = jnp.asarray(curve.identity_np).astype(points.dtype)
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(ident, (G, Wp - W, NC, L))], axis=1)
+    pts_t = pts.transpose(2, 3, 0, 1).reshape(NC * L, G * Wp)
+    out_t = _sum_points_call(curve, bpg, interpret)(pts_t)  # (CC, G·BLOCK)
+    # every lane of a group's block holds the group total — take lane 0
+    res = out_t.reshape(NC, L, G, BLOCK)[..., 0].transpose(2, 0, 1)
+    return res.reshape(*lead, NC, L) if lead else res[0]
+
+
+def _joint_block(curve, jway: int) -> int:
+    """Lanes per J-way kernel instance: the J tables (J·16·CCP rows) are the
+    VMEM budget driver (~8 MB target of the ~16 MB/core), floor one lane
+    tile."""
+    CC = getattr(curve, "COORDS", 3) * curve.fp.L
+    CCP = -(-CC // 8) * 8
+    per_lane = jway * (1 << WINDOW) * CCP * 4
+    b = 128
+    while b * 2 * per_lane <= 8 * 1024 * 1024 and b < 512:
+        b *= 2
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _joint_ladder_call(curve, nbits: int, jway: int, interpret=False):
+    """J-way JOINT windowed ladder (Strauss–Shamir): each kernel lane
+    computes Σ_{j<J} s_j·P_j for its group of J points, sharing the ~nbits
+    doublings that dominate the 1-way ladder (253 of ~335 ops/lane at
+    253-bit scalars). Per group: J·15 table adds + nwin·(4 dbl + J add) —
+    vs J separate ladders' J·(15 + nwin·5) ops: ~1.6x fewer point ops at
+    J=2, ~2.3x at J=4. Groups are CONSECUTIVE lanes of the caller's pair
+    axis; the output is one point per group (so MSMs get a J× shorter
+    reduction too, and the prover's generator fold G' = e⁻¹·G1 + ŷ⁻¹e·G2
+    is exactly a J=2 group per output with no post-add at all)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = curve.fp.spec
+    L = spec.num_limbs
+    NC, add, dbl, const_np, ident_fn = _family(curve)
+    CC = NC * L
+    CCP = -(-CC // 8) * 8
+    nwin = -(-nbits // WINDOW)
+    nent = 1 << WINDOW
+    BJ = _joint_block(curve, jway)
+
+    def kernel(p_ref, np_ref, one_ref, cst_ref, pts_ref, dig_ref, o_ref,
+               tbl_ref):
+        from jax.experimental import pallas as pl
+
+        from ..fields.pallas_ops import LazyVal
+
+        f = LimbMajorField(spec, p_ref[...], np_ref[...])
+        pb_store = (2 if NC == 4 else 4) if f.lazy else 1
+        one = f.wrap(one_ref[...], 1)
+        cst = f.wrap(cst_ref[...], 1)
+        zero = LazyVal(one.t * 0, 0, 0, 0)
+        ident = ident_fn(zero, one)
+
+        def padded(P_t):
+            a = jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in P_t], axis=0)
+            if CCP == CC:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((CCP - CC, a.shape[1]), a.dtype)], axis=0
+            )
+
+        def unpack_w(a):
+            return tuple(f.load(c, pb_store) for c in _unpack(a, L, NC))
+
+        ident_packed = padded(ident)
+        # J tables: table j entry k = k·P_j at rows j·nent·CCP + k·CCP
+        for j in range(jway):
+            Pj = tuple(
+                f.wrap(c, 1)
+                for c in _unpack(pts_ref[j * CC : (j + 1) * CC, :], L, NC)
+            )
+            base = j * nent * CCP
+            tbl_ref[base : base + CCP, :] = ident_packed
+            tbl_ref[base + CCP : base + 2 * CCP, :] = padded(Pj)
+
+            def tstep(k, prev, Pj=Pj, base=base):
+                nxt = add(f, unpack_w(prev), Pj, cst)
+                out = padded(nxt)
+                tbl_ref[pl.ds(base + k * CCP, CCP), :] = out
+                return out[:CC]
+
+            lax.fori_loop(2, nent, tstep, padded(Pj)[:CC])
+
+        def lookup(j, dig):
+            base = j * nent * CCP
+            half = nent // 2
+            lo = tbl_ref[base : base + half * CCP, :]
+            hi = tbl_ref[base + half * CCP : base + nent * CCP, :]
+            sel = jnp.where(((dig >> (WINDOW - 1)) & 1) != 0, hi, lo)
+            for level in range(WINDOW - 2, -1, -1):
+                half //= 2
+                bit = (dig >> level) & 1
+                sel = jnp.where(bit != 0, sel[half * CCP :, :],
+                                sel[: half * CCP, :])
+            return unpack_w(sel[:CC])
+
+        def body(w, acc_packed):
+            def dbl_step(_, a):
+                nxt = dbl(f, unpack_w(a), cst)
+                return jnp.concatenate(
+                    [f.store_norm(c, pb_store) for c in nxt], axis=0)
+
+            acc_packed = lax.fori_loop(0, WINDOW, dbl_step, acc_packed)
+            acc = unpack_w(acc_packed)
+            for j in range(jway):
+                dig = dig_ref[pl.ds(j * nwin + (nwin - 1 - w), 1), :]
+                acc = add(f, acc, lookup(j, dig), cst)
+            return jnp.concatenate(
+                [f.store_norm(c, pb_store) for c in acc], axis=0)
+
+        acc0 = jnp.concatenate(
+            [f.store_norm(c, pb_store) for c in ident], axis=0)
+        out = lax.fori_loop(0, nwin, body, acc0)
+        o_ref[...] = jnp.concatenate(
+            [f.canon(c).t for c in unpack_w(out)], axis=0)
+
+    @jax.jit
+    def run(pts_t, digits_t):  # (J·CC, G), (J·nwin, G); G multiple of BJ
+        G = pts_t.shape[1]
+        fp = curve.fp
+
+        def bc(arr_np):
+            return jnp.broadcast_to(
+                jnp.asarray(np.asarray(arr_np))[:, None], (L, BJ)
+            )
+
+        consts = [bc(spec.p_limbs), bc(spec.nprime_limbs), bc(fp.one_np),
+                  bc(const_np)]
+        cspec = pl.BlockSpec((L, BJ), lambda i: (0, 0))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((CC, G), pts_t.dtype),
+            grid=(G // BJ,),
+            in_specs=[cspec, cspec, cspec, cspec,
+                      pl.BlockSpec((jway * CC, BJ), lambda i: (0, i)),
+                      pl.BlockSpec((jway * nwin, BJ), lambda i: (0, i))],
+            out_specs=pl.BlockSpec((CC, BJ), lambda i: (0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((jway * nent * CCP, BJ), pts_t.dtype)],
+            interpret=interpret,
+        )(*consts, pts_t, digits_t)
+
+    return run
+
+
+def joint_ladder_msm_grouped(curve, scalars, points, nbits: int,
+                             jway: int, interpret: bool = False):
+    """Group-sum MSM via the J-way joint ladder: consecutive groups of
+    `jway` (scalar, point) pairs each produce Σ_j s_j·P_j.
+
+    scalars: plain-form (..., N, Ls); points: (..., N, C, L); N must be a
+    multiple of jway → returns (..., N/jway, C, L) group sums."""
+    fn, fp = curve.fn, curve.fp
+    L = fp.L
+    NC = getattr(curve, "COORDS", 3)
+    CC = NC * L
+    lead = points.shape[:-3]
+    N = points.shape[-3]
+    assert N % jway == 0
+    G = N // jway
+    Gl = G
+    for d in lead:
+        Gl *= d
+    BJ = _joint_block(curve, jway)
+    pts = jnp.broadcast_to(points, (*lead, N, NC, L)).reshape(-1, jway, NC, L)
+    scal = jnp.broadcast_to(
+        jnp.asarray(scalars), (*lead, N, fn.L)).reshape(-1, jway, fn.L)
+    Gp = -(-max(Gl, BJ) // BJ) * BJ
+    if Gp != Gl:
+        ident = jnp.asarray(curve.identity_np).astype(pts.dtype)
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(ident, (Gp - Gl, jway, NC, L))], axis=0)
+        scal = jnp.concatenate(
+            [scal, jnp.zeros((Gp - Gl, jway, fn.L), scal.dtype)], axis=0)
+    nwin = -(-nbits // WINDOW)
+    digits = fn.scalar_digits(scal, nwin * WINDOW, WINDOW)  # (Gp, J, nwin)
+    dig_t = digits.transpose(1, 2, 0).reshape(jway * nwin, Gp)
+    pts_t = pts.transpose(1, 2, 3, 0).reshape(jway * CC, Gp)
+    out_t = _joint_ladder_call(curve, nbits, jway, interpret)(pts_t, dig_t)
+    out = out_t.reshape(NC, L, Gp).transpose(2, 0, 1)[:Gl]
+    return out.reshape(*lead, G, NC, L)

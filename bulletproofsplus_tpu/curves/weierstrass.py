@@ -64,8 +64,19 @@ class WeierstrassOps:
         )
 
     def decode_points(self, arr):
+        """Batched decode: one host batch inversion for all Z coordinates
+        (fields.ops.batch_modinv) instead of a Fermat pow per point."""
+        from ..fields.ops import batch_modinv
+
         a = np.asarray(arr)
-        return [self.decode_point(a[i]) for i in range(a.shape[0])]
+        p = self.fp.p
+        xs = self.fp.decode(a[:, 0, :])
+        ys = self.fp.decode(a[:, 1, :])
+        zs = self.fp.decode(a[:, 2, :])
+        zi = batch_modinv(zs, p)
+        return [None if zs[i] == 0 else (xs[i] * zi[i] % p,
+                                         ys[i] * zi[i] % p)
+                for i in range(a.shape[0])]
 
     # ------------------------------------------------------------------
     # core ops (all jnp, complete — no case analysis anywhere)

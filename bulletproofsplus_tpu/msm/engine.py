@@ -157,11 +157,29 @@ def _tree_sum_jit(curve, axis_from_end: int = 3):
 
 
 def tree_sum(curve, points):
-    """Σ points over axis -3 via a balanced tree of vectorized adds."""
+    """Σ points over axis -3 via a balanced tree of vectorized adds.
+
+    Wide reductions on TPU route through the grouped accumulate kernel
+    (pallas_curve.sum_points_grouped): one HBM pass + a BLOCK-lane tail
+    tree, instead of log2(n) XLA levels each re-materialized through HBM."""
     n = points.shape[-3]
     if n == 0:
         return jnp.broadcast_to(jnp.asarray(curve.identity_np),
                                 (*points.shape[:-3], *points.shape[-2:]))
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # moved across jax versions
+        from jax.interpreters.batching import BatchTracer
+
+    # the grouped kernel handles leading axes natively but its revisiting
+    # out-window pattern does not compile under vmap batching — batched
+    # tracers take the XLA tree (callers wanting the kernel pass stacked
+    # leading axes instead of vmapping, e.g. batchprove's bit commitment)
+    if (_ladder_ok(curve) and n >= 1024
+            and not isinstance(points, BatchTracer)):
+        from ..curves.pallas_curve import sum_points_grouped
+
+        return sum_points_grouped(curve, points)
     n2 = _next_pow2(n)
     points = _pad_axis(points, points.ndim - 3,
                        n2, jnp.asarray(curve.identity_np))
@@ -197,13 +215,26 @@ def msm(curve, scalars, points, nbits: int | None = None):
     lanes = W
     for d in lead:
         lanes *= d
-    if _ladder_ok(curve) and lanes >= 1024:
-        # whole-ladder Pallas kernel: one launch per 512-lane block runs the
-        # full windowed ladder VMEM-resident (~2x over per-mul Pallas, ~11x
-        # over the XLA scan path at (2,2048))
-        from ..curves.pallas_curve import ladder_scalar_mul
+    from ..utils.metrics import METRICS
 
-        prods = ladder_scalar_mul(curve, scalars, points, nbits)
+    METRICS.msm_ops(lanes, nbits, "ladder")
+    if _ladder_ok(curve) and lanes >= 1024:
+        # J-way joint whole-ladder Pallas kernel: groups of J consecutive
+        # (scalar, point) pairs share the ~nbits doublings that dominate
+        # the 1-way ladder (measured at N=4096 ed25519: 1-way 54 ms,
+        # J=2 43 ms, J=4 40 ms wall incl. ~29 ms dispatch floor — device
+        # time ~2.3x at J=4), then a grouped-sum kernel reduces the
+        # J-fold-shorter product axis.
+        from ..curves.pallas_curve import joint_ladder_msm_grouped
+
+        J = 4 if lanes >= 2048 else 2
+        W2 = -(-W // J) * J
+        if W2 != W:
+            scalars = _pad_axis(scalars, scalars.ndim - 2, W2,
+                                jnp.zeros(scalars.shape[-1], scalars.dtype))
+            points = _pad_axis(points, points.ndim - 3, W2,
+                               jnp.asarray(curve.identity_np))
+        prods = joint_ladder_msm_grouped(curve, scalars, points, nbits, J)
         return tree_sum(curve, prods)
 
     small, chunk = _canon_params()

@@ -184,10 +184,20 @@ def batch_prove(
         pk.G_vec, pk.H_vec, pk.h,
     )  # (K, C, L)
 
-    yz = [
-        t.challenge_yz(curve, list(p.commitment_vec), A_all[i])
-        for i, (t, p) in enumerate(zip(transcripts, provers))
-    ]
+    known_t = all(getattr(t, "challenges_known_ahead", False)
+                  for t in transcripts)
+    if known_t:
+        yz = [t.challenge_yz(curve, None, None) for t in transcripts]
+    else:
+        # batched decode of A and all K·m commitments (one inversion pass)
+        A_aff0 = curve.decode_points(np.asarray(A_all))
+        V_flat = curve.decode_points(np.asarray(jnp.stack(
+            [jnp.stack(list(p.commitment_vec)) for p in provers]
+        ).reshape(K * m, -1, fn.L)))
+        yz = [
+            t.challenge_yz(curve, V_flat[i * m:(i + 1) * m], A_aff0[i])
+            for i, t in enumerate(transcripts)
+        ]
     ys = [y % fn.p for y, _ in yz]
     zs = [z % fn.p for _, z in yz]
 
@@ -273,9 +283,13 @@ def batch_prove(
         )
         L_cols.append(L)
         R_cols.append(R)
-        L_np, R_np = np.asarray(L), np.asarray(R)  # ONE fetch for all K
+        # ONE fetch + ONE batched affine decode for all K (the transcripts
+        # hash pre-decoded (x, y) tuples; per-point Fermat pows were the
+        # sha-mode hot spot)
+        L_aff = curve.decode_points(np.asarray(L))
+        R_aff = curve.decode_points(np.asarray(R))
         es_r = [
-            t.round_challenge(curve, L_np[i], R_np[i]) % fn.p
+            t.round_challenge(curve, L_aff[i], R_aff[i]) % fn.p
             for i, t in enumerate(transcripts)
         ]
         a, b, y_pow, G, H, alpha = _round_fold_vmap_jit(
@@ -295,9 +309,10 @@ def batch_prove(
         a, b, y_pow[:, 0], G[:, 0], H[:, 0], pk.g, pk.h,
         r_m, s_m, delta_m, eta_m,
     )
-    A_np, B_np = np.asarray(A), np.asarray(B)
+    A_aff = curve.decode_points(np.asarray(A))
+    B_aff = curve.decode_points(np.asarray(B))
     efs = [
-        t.final_challenge(curve, A_np[i], B_np[i]) % fn.p
+        t.final_challenge(curve, A_aff[i], B_aff[i]) % fn.p
         for i, t in enumerate(transcripts)
     ]
     r_p, s_p, d_p = _final_scalars_vmap_jit(curve)(

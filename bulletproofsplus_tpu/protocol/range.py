@@ -255,11 +255,23 @@ def _bit_commitment_batch_prog(curve):
     the (N, C, L) tile-padding tax — measured 83 ms for K=16, mn=1024)."""
     def f(alpha_plain, bits, G_vec, H_vec, h):
         # alpha_plain: (K, Ls); bits: (K, mn)
+        from ..msm.engine import _ladder_ok
+
         K = bits.shape[0]
-        h_alpha = msm(curve, alpha_plain[:, None], jnp.broadcast_to(
-            h, (K, 1, *h.shape)))                      # (K, C, L)
-        chosen = curve.select(bits[..., None, None], G_vec,
-                              curve.neg(H_vec))        # (K, mn, C, L)
+        hb = jnp.broadcast_to(h, (K, *h.shape))
+        if _ladder_ok(curve):
+            # K lanes of full scalar-mul: the XLA scan ladder pays the
+            # (N, C, L) layout tax on ~335 sequential point ops (measured
+            # ~80 ms of the K=16 bit-commitment program); one padded
+            # Pallas ladder block does it in noise
+            from ..curves.pallas_curve import ladder_scalar_mul
+
+            h_alpha = ladder_scalar_mul(
+                curve, alpha_plain, hb, curve.fn.order_bits)
+        else:
+            h_alpha = msm(curve, alpha_plain[:, None], hb[:, None])
+        # curve.select broadcasts the (K, mn) mask over the point dims itself
+        chosen = curve.select(bits, G_vec, curve.neg(H_vec))  # (K, mn, C, L)
         return tree_sum(
             curve, jnp.concatenate([h_alpha[:, None], chosen], axis=1)
         )
@@ -603,10 +615,21 @@ def replay_batch(curve, batch: "ProofBatch", V_all, n: int, m: int,
     if deterministic:
         A_np = Aw_np = B_np = L_np = R_np = V_np = [None] * K
     else:
-        A_np, Aw_np, B_np = (np.asarray(batch.A), np.asarray(batch.A_wip),
-                             np.asarray(batch.B))
-        L_np, R_np = np.asarray(batch.L_vec), np.asarray(batch.R_vec)
-        V_np = np.asarray(V_all)
+        # ONE fetch per tensor, then ONE batched affine decode each (a
+        # single host batch inversion instead of a Fermat pow per point);
+        # transcripts consume the pre-decoded (x, y) tuples directly
+        A_np = curve.decode_points(np.asarray(batch.A))
+        Aw_np = curve.decode_points(np.asarray(batch.A_wip))
+        B_np = curve.decode_points(np.asarray(batch.B))
+        L_flat = curve.decode_points(
+            np.asarray(batch.L_vec).reshape(K * logn, *batch.L_vec.shape[-2:]))
+        R_flat = curve.decode_points(
+            np.asarray(batch.R_vec).reshape(K * logn, *batch.R_vec.shape[-2:]))
+        L_np = [L_flat[i * logn:(i + 1) * logn] for i in range(K)]
+        R_np = [R_flat[i * logn:(i + 1) * logn] for i in range(K)]
+        V_flat = curve.decode_points(
+            np.asarray(V_all).reshape(K * m, *V_all.shape[-2:]))
+        V_np = [V_flat[i * m:(i + 1) * m] for i in range(K)]
     ys, zs, ess, efs = [], [], [], []
     for i, tr in enumerate(transcripts):
         tr = tr or ShaTranscript(m)

@@ -115,14 +115,35 @@ def _round_fold_core(curve, fold_pad, a, b, power_of_y, G, H, alpha,
 
     a_next = fn.add(fn.mul(a1, e_m), fn.mul(a2, fn.mul(y_nhat, e_inv)))
     b_next = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
-    fold_scalars = fn.from_mont(
+    fold4 = fn.from_mont(
         jnp.stack([e_inv, fn.mul(y_nhat_inv, e_m), e_m, e_inv])
-    )[:, None, :]
-    fold_points = jnp.stack([G1, G2, H1, H2])  # (4, n, C, L)
-    fold_points = _pad_points(curve, fold_points, fold_pad)
-    fg = scalar_mul(curve, fold_scalars, fold_points)
-    G_next = curve.add(fg[0], fg[1])[:n]
-    H_next = curve.add(fg[2], fg[3])[:n]
+    )
+    from ..msm.engine import _ladder_ok
+
+    if _ladder_ok(curve) and 4 * n >= 1024:
+        # J=2 joint ladder: each (G1[i], G2[i]) / (H1[i], H2[i]) pair IS
+        # one fold output — shared doublings, no post-ladder adds (the
+        # interactive sha-mode fold takes this path too)
+        from ..curves.pallas_curve import joint_ladder_msm_grouped
+
+        pair_p = jnp.concatenate([
+            jnp.stack([G1, G2], axis=1),
+            jnp.stack([H1, H2], axis=1),
+        ]).reshape(4 * n, *G1.shape[-2:])
+        pair_s = jnp.concatenate([
+            jnp.broadcast_to(fold4[:2][None], (n, 2, fn.L)),
+            jnp.broadcast_to(fold4[2:][None], (n, 2, fn.L)),
+        ]).reshape(4 * n, fn.L)
+        out = joint_ladder_msm_grouped(
+            curve, pair_s, pair_p, fn.order_bits, 2)
+        G_next, H_next = out[:n], out[n:]
+    else:
+        fold_scalars = fold4[:, None, :]
+        fold_points = jnp.stack([G1, G2, H1, H2])  # (4, n, C, L)
+        fold_points = _pad_points(curve, fold_points, fold_pad)
+        fg = scalar_mul(curve, fold_scalars, fold_points)
+        G_next = curve.add(fg[0], fg[1])[:n]
+        H_next = curve.add(fg[2], fg[3])[:n]
     alpha_next = fn.add(
         alpha, fn.add(fn.mul(e_sqr, d_L_m), fn.mul(e_sqr_inv, d_R_m))
     )
@@ -159,6 +180,31 @@ def _final_scalars_core(curve, a, b, alpha, r_m, s_m, delta_m, eta_m, e_m):
         eta_m, fn.add(fn.mul(delta_m, e_m), fn.mul(alpha, fn.mul(e_m, e_m)))
     )
     return r_prime, s_prime, d_prime
+
+
+def _joint_rows_msm(curve, scalars_plain, points, nbits: int):
+    """Force the J-way joint Pallas path for a (rows, W) MSM regardless of
+    the UNBATCHED lane count: inside vmapped prover programs msm()'s lane
+    heuristic sees per-proof shapes, but the real batch is K× bigger — and
+    the XLA scan-ladder fallback costs ~60-240 ms per round at K=16 even
+    for 4-lane rounds (253 sequential taxed point ops; profiled via
+    jax.profiler). Pads W to a multiple of 4 and tree-sums the J-groups."""
+    from ..msm.engine import tree_sum
+    from ..curves.pallas_curve import joint_ladder_msm_grouped
+
+    W = points.shape[-3]
+    J = 4 if W % 4 == 0 or W >= 8 else 2
+    Wp = -(-W // J) * J
+    if Wp != W:
+        pad_s = jnp.zeros((*scalars_plain.shape[:-2], Wp - W,
+                           scalars_plain.shape[-1]), scalars_plain.dtype)
+        scalars_plain = jnp.concatenate([scalars_plain, pad_s], axis=-2)
+        ident = jnp.asarray(curve.identity_np)
+        pad_p = jnp.broadcast_to(
+            ident, (*points.shape[:-3], Wp - W, *points.shape[-2:]))
+        points = jnp.concatenate([points, pad_p], axis=-3)
+    prods = joint_ladder_msm_grouped(curve, scalars_plain, points, nbits, J)
+    return tree_sum(curve, prods)
 
 
 def _fold_pad(n: int) -> int:
@@ -430,9 +476,11 @@ def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
                 jnp.concatenate([G1, H2, g[None], h[None]]),
             ])
             W = 2 * half + 2
-            if pallas and _ladder_ok(curve) and 2 * W >= 1024:
-                # msm() takes the whole-ladder Pallas path at this size
-                LR = msm(curve, fn.from_mont(S), P)       # (2, C, L)
+            if pallas and _ladder_ok(curve):
+                # joint Pallas for EVERY round — under vmap the true lane
+                # count is K× the per-proof W, and the XLA ladder fallback
+                # dominated the profiled fold time even at tiny W
+                LR = _joint_rows_msm(curve, fn.from_mont(S), P, nbits)
             else:
                 WP = _next_pow2(W)
                 if WP != W:
@@ -450,7 +498,7 @@ def _wip_prove_known_unrolled_prog(curve, n: int, pallas: bool = False):
             b = fn.add(fn.mul(b1, e_inv), fn.mul(b2, e_m))
             fold4 = fn.from_mont(jnp.stack(
                 [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv]))
-            if pallas and _ladder_ok(curve) and 4 * half >= 1024:
+            if pallas and _ladder_ok(curve):
                 from ..curves.pallas_curve import joint_ladder_msm_grouped
 
                 # the fold G' = e⁻¹·G1[i] + ŷ⁻¹e·G2[i] (and the H twin) is

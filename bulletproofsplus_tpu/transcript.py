@@ -87,7 +87,11 @@ class ShaTranscript:
         self._h.update(len(data).to_bytes(8, "big") + data)
 
     def _point_bytes(self, curve, P) -> bytes:
-        aff = curve.decode_point(P)
+        # P may arrive PRE-DECODED as an affine (x, y) tuple (batch callers
+        # decode whole tensors with one batched inversion — replay_batch /
+        # batch_prove) or as a raw device/limb array
+        aff = P if (P is None or isinstance(P, tuple)) else (
+            curve.decode_point(P))
         if aff is None:
             return b"\x00"
         nbytes = (curve.fp.p.bit_length() + 7) // 8

@@ -28,6 +28,29 @@ setup_compilation_cache()
 
 import numpy as np  # noqa: E402
 
+MODE = os.environ.get("BPP_BENCH_MODE", "deterministic")
+
+
+def _mk_transcript(curve, m):
+    from bulletproofsplus_tpu import DeterministicTranscript, ShaTranscript
+
+    if MODE == "deterministic":
+        return DeterministicTranscript(m)
+    if MODE == "merlin":
+        from bulletproofsplus_tpu.merlin import MerlinBppTranscript
+
+        return MerlinBppTranscript(m)
+    return ShaTranscript(m)
+
+
+def _mk_rng(curve, m):
+    from bulletproofsplus_tpu import DeterministicRng, SystemRng
+
+    if MODE == "deterministic":
+        return DeterministicRng(m)
+    return SystemRng(curve.fn.p)
+
+
 CONFIGS = {
     "1": ("edwards25519", 32, 1),
     "2": ("edwards25519", 32, 16),
@@ -49,23 +72,31 @@ def run_config(tag, curve_name, n, m):
     p = RangeProver()
     for i in range(m):
         p.commit(pk, (3 * i + 2) % (1 << n), 2 * i + 3)
-    proof = prove(curve, pk, n, p)  # warmup
+    def prove_once():
+        return prove(curve, pk, n, p, transcript=_mk_transcript(curve, m),
+                     rng=_mk_rng(curve, m))
+
+    def verify_once(pf):
+        verify(curve, pf, pk, n, p.commitment_vec,
+               transcript=_mk_transcript(curve, m))
+
+    proof = prove_once()  # warmup
     np.asarray(proof.proof.r_prime)
     pt = []
     for _ in range(REPS):
         t0 = time.time()
-        proof = prove(curve, pk, n, p)
+        proof = prove_once()
         np.asarray(proof.proof.r_prime)
         np.asarray(proof.proof.L_vec)
         pt.append(time.time() - t0)
-    verify(curve, proof, pk, n, p.commitment_vec)  # warmup
+    verify_once(proof)  # warmup
     vt = []
     for _ in range(REPS):
         t0 = time.time()
-        verify(curve, proof, pk, n, p.commitment_vec)
+        verify_once(proof)
         vt.append(time.time() - t0)
     print(json.dumps({
-        "config": tag, "curve": curve_name, "n": n, "m": m,
+        "config": tag, "curve": curve_name, "n": n, "m": m, "mode": MODE,
         "prove_s": round(min(pt), 4), "verify_s": round(min(vt), 4),
         "proof_bytes": len(proof_to_bytes(curve, proof)),
     }), flush=True)
@@ -87,23 +118,32 @@ def run_batch():
         provers.append(p)
     commits = stack_commitments(
         curve, [p.commitment_vec for p in provers])
-    pb = batch_prove(curve, pk, n, provers)  # warmup
+    def tr_list():
+        return [_mk_transcript(curve, m) for _ in range(K)]
+
+    def rng_list():
+        return [_mk_rng(curve, m) for _ in range(K)]
+
+    pb = batch_prove(curve, pk, n, provers,
+                     transcripts=tr_list(), rngs=rng_list())  # warmup
     np.asarray(pb.r_prime)
     pt = []
     for _ in range(REPS):
         t0 = time.time()
-        pb = batch_prove(curve, pk, n, provers)
+        pb = batch_prove(curve, pk, n, provers,
+                         transcripts=tr_list(), rngs=rng_list())
         np.asarray(pb.r_prime)
         np.asarray(pb.L_vec)
         pt.append(time.time() - t0)
-    batch_verify(curve, pk, n, pb, commits)  # warmup
+    batch_verify(curve, pk, n, pb, commits, transcripts=tr_list())  # warmup
     vt = []
     for _ in range(REPS):
         t0 = time.time()
-        batch_verify(curve, pk, n, pb, commits)
+        batch_verify(curve, pk, n, pb, commits, transcripts=tr_list())
         vt.append(time.time() - t0)
     print(json.dumps({
         "config": "5", "curve": "edwards25519", "n": n, "m": m, "K": K,
+        "mode": MODE,
         "batch_prove_s_per_proof": round(min(pt) / K, 4),
         "batch_verify_s_per_proof": round(min(vt) / K, 5),
     }), flush=True)

@@ -28,7 +28,13 @@ from bulletproofsplus_tpu.utils.cache import setup_compilation_cache
 
 setup_compilation_cache()
 
-from bulletproofsplus_tpu import PublicKey, RangeProver, curve_ops  # noqa: E402
+from bulletproofsplus_tpu import (  # noqa: E402
+    DeterministicRng,
+    DeterministicTranscript,
+    PublicKey,
+    RangeProver,
+    curve_ops,
+)
 from bulletproofsplus_tpu.protocol import batch_prove  # noqa: E402
 
 
@@ -37,8 +43,15 @@ SCALAR_FIELDS = ("r_prime", "s_prime", "d_prime")
 
 
 def run(curve, pk, n, provers):
+    # deterministic mode: this script validates the KNOWN-CHALLENGE whole-
+    # fold programs (the library default is now the secure sha transcript,
+    # which takes the interactive per-round path instead)
+    m = len(provers[0].v_vec)
     t0 = time.time()
-    pb = batch_prove(curve, pk, n, provers)
+    pb = batch_prove(
+        curve, pk, n, provers,
+        transcripts=[DeterministicTranscript(m) for _ in provers],
+        rngs=[DeterministicRng(m) for _ in provers])
     out = {f: np.asarray(getattr(pb, f))
            for f in POINT_FIELDS + SCALAR_FIELDS}
     return pb, out, time.time() - t0
@@ -100,7 +113,8 @@ def main():
 
     commits = jnp.stack([jnp.stack(p.commitment_vec) for p in provers])
     try:
-        batch_verify(curve, pk, n, pb, commits)
+        batch_verify(curve, pk, n, pb, commits,
+                     transcripts=[DeterministicTranscript(m) for _ in provers])
         print("batch_verify(Pallas proofs): ok")
     except Exception as exc:  # noqa: BLE001
         print("batch_verify(Pallas proofs) FAILED:", exc)
