@@ -60,6 +60,11 @@ def test_deterministic_mode_matches_default_path():
     prover = RangeProver()
     prover.commit(pk, 2, 3)
     prover.commit(pk, 5, 7)
-    want = prove(curve, pk, 8, prover)
+    from bulletproofsplus_tpu import DeterministicRng, DeterministicTranscript
+
+    # the library default is now the secure sha mode; reference-constant
+    # comparison needs the explicit deterministic pair
+    want = prove(curve, pk, 8, prover,
+                 transcript=DeterministicTranscript(2), rng=DeterministicRng(2))
     assert (proof.to_golden(curve).proof.r_prime
             == want.to_golden(curve).proof.r_prime)

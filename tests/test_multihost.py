@@ -26,9 +26,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_batch_verify():
-    # no pytest-timeout plugin here; the communicate(timeout=) below bounds
-    # the run and kills stragglers
+def _run_workers():
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device counts
@@ -50,6 +48,21 @@ def test_two_process_batch_verify():
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_batch_verify():
+    # no pytest-timeout plugin here; the communicate(timeout=) below bounds
+    # the run and kills stragglers. One retry: under full-suite xdist load a
+    # starved peer can miss the 30 s Gloo collective handshake window
+    # (DEADLINE_EXCEEDED on GetKeyValue) — a scheduling flake, not a bug.
+    for attempt in range(2):
+        procs, outs = _run_workers()
+        if all(p.returncode == 0 for p in procs):
+            break
+        flaky = any("DEADLINE_EXCEEDED" in o or "Gloo" in o for o in outs)
+        if attempt == 1 or not flaky:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST OK proc={pid}" in out, out[-4000:]
