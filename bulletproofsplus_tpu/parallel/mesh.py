@@ -81,3 +81,62 @@ def global_mesh(dp: int | None = None) -> Mesh:
             "rows stay host-local (tp collectives on ICI, not DCN)")
     arr = np.array(devs).reshape(dp, n // dp)
     return Mesh(arr, ("dp", "tp"))
+
+
+_BARRIER_SEQ = [0]
+
+
+def distributed_barrier(tag: str, timeout_ms: int = 1_800_000) -> None:
+    """Long-deadline coordination-service barrier (no-op single-process).
+
+    Used to line processes up IMMEDIATELY BEFORE executing a cross-process
+    program: the Gloo/ICI communicator rendezvous inside program execution
+    only waits ~30 s (hardcoded in XLA), while program COMPILES can stagger
+    processes by minutes — so the pattern is compile-first (AOT), barrier,
+    then execute (see synced_call)."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    _BARRIER_SEQ[0] += 1
+    client.wait_at_barrier(f"bpp_{tag}_{_BARRIER_SEQ[0]}", timeout_ms)
+
+
+def synced_call(jitted, *args):
+    """Execute a jitted cross-process program with compile/execute phases
+    separated: compile locally (however long that takes, cache hit or not),
+    THEN barrier, THEN run — every process enters the collective rendezvous
+    together. Single-process: plain call."""
+    if jax.process_count() <= 1:
+        return jitted(*args)
+    compiled = jitted.lower(*args).compile()
+    distributed_barrier("exec")
+    return compiled(*args)
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-process collective context NOW with a trivially
+    small replicated reduction.
+
+    The Gloo/ICI communicator for a device set is created lazily at the
+    first collective and its rendezvous has a ~30 s deadline; if processes
+    first meet a collective AFTER minutes of independently-scheduled program
+    compiles, a starved peer misses the window (DEADLINE_EXCEEDED on
+    GetKeyValue). Running this right after mesh construction — when all
+    processes are still in lockstep — creates the context once; every later
+    collective reuses it."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    host = np.ones((dp, tp), np.int32)
+    from .sharded_msm import _to_global
+
+    x = _to_global(host, mesh, P("dp", "tp"))
+    total = synced_call(
+        jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P())), x)
+    assert int(total) == dp * tp

@@ -41,12 +41,15 @@ def replicated_all_identity(curve, expected, mesh: Mesh) -> bool:
     """jnp.all(is_identity(expected)) with a REPLICATED output over the
     mesh — on a multi-process mesh the plain reduction's output would not
     be fully addressable and bool() would fail; forcing replication emits
-    the cross-host all-gather instead."""
+    the cross-host all-gather instead (compile-barrier-execute via
+    synced_call so the collective rendezvous is aligned)."""
+    from .mesh import synced_call
+
     f = jax.jit(
         lambda e: jnp.all(curve.is_identity(e)),
         out_shardings=NamedSharding(mesh, P()),
     )
-    return bool(f(expected))
+    return bool(synced_call(f, expected))
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,7 +133,10 @@ def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
         points = pp.at[:B, :n].set(points)
     scalars = _to_global(scalars, mesh, P("dp", "tp", None))
     points = _to_global(points, mesh, P("dp", "tp", None, None))
-    return _sharded_msm_rows_jit(curve, nbits, mesh)(scalars, points)[:B]
+    from .mesh import synced_call
+
+    return synced_call(
+        _sharded_msm_rows_jit(curve, nbits, mesh), scalars, points)[:B]
 
 
 @functools.lru_cache(maxsize=None)
@@ -175,7 +181,10 @@ def sharded_fixed_msm(curve, scalars, table, mesh: Mesh, axis: str = "tp",
         raise ValueError("table point axis must divide the mesh axis")
     scalars = _to_global(scalars, mesh, P(axis, None))
     table = _to_global(table, mesh, P(None, None, axis, None, None))
-    return _sharded_fixed_msm_jit(curve, nbits, mesh, axis)(scalars, table)
+    from .mesh import synced_call
+
+    return synced_call(
+        _sharded_fixed_msm_jit(curve, nbits, mesh, axis), scalars, table)
 
 
 def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
@@ -200,4 +209,7 @@ def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",
         )
     scalars = _to_global(scalars, mesh, P(axis, None))
     points = _to_global(points, mesh, P(axis, None, None))
-    return _sharded_msm_jit(curve, nbits, mesh, axis)(scalars, points)
+    from .mesh import synced_call
+
+    return synced_call(
+        _sharded_msm_jit(curve, nbits, mesh, axis), scalars, points)

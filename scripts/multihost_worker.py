@@ -71,7 +71,7 @@ def main():
         VerificationError,
         curve_ops,
     )
-    from bulletproofsplus_tpu.parallel import global_mesh
+    from bulletproofsplus_tpu.parallel import global_mesh, warmup_collectives
     from bulletproofsplus_tpu.protocol import batch_prove, batch_verify
     procs = jax.process_count()
     print(f"[proc {jax.process_index()}] joined: {procs} processes, "
@@ -79,6 +79,11 @@ def main():
           f"devices", flush=True)
 
     mesh = global_mesh(dp=procs)  # dp spans hosts, tp local
+    # create the cross-process communicator while processes are in lockstep
+    # (lazily creating it after minutes of staggered compiles can miss the
+    # 30 s rendezvous window under load)
+    warmup_collectives(mesh)
+    print(f"[proc {jax.process_index()}] collectives warmed", flush=True)
     n, m, K = args.n, args.m, args.K
     assert K % procs == 0, "K must split evenly over dp rows"
 
