@@ -160,7 +160,18 @@ def batch_prove(
     # observed at K=64, n=64, m=16 — the whole-fold scan's working set).
     # Chunks of a fixed known-good size reuse ONE compiled program and
     # bound device memory; results concatenate into a single ProofBatch.
-    chunk = int(os.environ.get("BPP_BATCH_PROVE_CHUNK", "16"))
+    # The INTERACTIVE (hash-transcript) pipeline chunks larger: its
+    # per-round programs have a much smaller working set than the whole-
+    # fold program, and each chunk costs 2·log2(mn) host round-trips —
+    # fewer, larger chunks amortize the ~29 ms dispatch floor.
+    interactive = not (
+        all(getattr(t, "challenges_known_ahead", False) for t in transcripts)
+        and all(getattr(r, "blinds_known_ahead", False) for r in rngs)
+        and os.environ.get("BPP_FUSE_PROVER") != "0")
+    if interactive:
+        chunk = int(os.environ.get("BPP_BATCH_PROVE_CHUNK_INTERACTIVE", "64"))
+    else:
+        chunk = int(os.environ.get("BPP_BATCH_PROVE_CHUNK", "16"))
     if K > chunk:
         parts = [
             batch_prove(curve, pk, n, provers[i:i + chunk],

@@ -91,7 +91,16 @@ def _round_lr_core(curve, a, b, power_of_y, G, H, g, h, d_L_m, d_R_m):
         jnp.concatenate([G2, H1, g[None], h[None]], axis=0),
         jnp.concatenate([G1, H2, g[None], h[None]], axis=0),
     ])
-    LR = msm(curve, fn.from_mont(LR_scalars), LR_points)
+    from ..msm.engine import _ladder_ok
+
+    if _ladder_ok(curve):
+        # joint Pallas regardless of the per-proof width: under vmap the
+        # true lane count is K× larger, and the XLA ladder fallback costs
+        # ~60-240 ms per small round at K=16 (see _joint_rows_msm)
+        LR = _joint_rows_msm(curve, fn.from_mont(LR_scalars), LR_points,
+                             fn.order_bits)
+    else:
+        LR = msm(curve, fn.from_mont(LR_scalars), LR_points)
     return LR[0], LR[1], y_nhat, y_nhat_inv
 
 
@@ -120,7 +129,7 @@ def _round_fold_core(curve, fold_pad, a, b, power_of_y, G, H, alpha,
     )
     from ..msm.engine import _ladder_ok
 
-    if _ladder_ok(curve) and 4 * n >= 1024:
+    if _ladder_ok(curve):
         # J=2 joint ladder: each (G1[i], G2[i]) / (H1[i], H2[i]) pair IS
         # one fold output — shared doublings, no post-ladder adds (the
         # interactive sha-mode fold takes this path too)

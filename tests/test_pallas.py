@@ -91,3 +91,56 @@ def test_fixed_msm_kernel_matches_golden(name):
         want = gc.add(want, gc.mul(p, k))
     assert curve.decode_point(got) == want
     assert curve.decode_point(want_xla) == want
+
+
+@pytest.mark.parametrize("name", ["edwards25519", "secp256k1"])
+@pytest.mark.parametrize("jway", [2, 4])
+def test_joint_ladder_grouped_matches_golden(name, jway):
+    """J-way joint ladder kernel (groups of J pairs share their doublings)
+    vs the golden oracle, both point families, interpret mode."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import (
+        joint_ladder_msm_grouped,
+    )
+
+    curve = curve_ops(name)
+    gc = golden_curve(name)
+    rng = random.Random(13)
+    nbits = 16
+    N = 2 * jway  # two groups
+    ks = [rng.randrange(1 << nbits) for _ in range(N - 2)] + [0, 1]
+    pts = [gc.mul(gc.base(), i + 3) for i in range(N)]
+    s = jnp.asarray(curve.fn.encode_plain(ks))
+    P = jnp.asarray(curve.encode_points(pts))
+    got = joint_ladder_msm_grouped(curve, s, P, nbits, jway, interpret=True)
+    want = []
+    for g in range(N // jway):
+        acc = None
+        for j in range(jway):
+            term = gc.mul(pts[g * jway + j], ks[g * jway + j])
+            acc = gc.add(acc, term)
+        want.append(acc)
+    assert curve.decode_points(got) == want
+
+
+@pytest.mark.parametrize("name", ["edwards25519", "secp256k1"])
+def test_sum_points_grouped_matches_golden(name):
+    """Grouped accumulate-reduce kernel (one pass + in-register rotate-add
+    chain) vs the golden oracle, incl. identity pads and a leading group
+    axis, interpret mode."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import sum_points_grouped
+
+    curve = curve_ops(name)
+    gc = golden_curve(name)
+    pts = [gc.mul(gc.base(), i + 1) for i in range(6)] + [None, None]
+    P = jnp.asarray(curve.encode_points(pts)).reshape(2, 4, *jnp.asarray(
+        curve.encode_points(pts)).shape[-2:])
+    got = sum_points_grouped(curve, P, interpret=True)
+    want = []
+    for g in range(2):
+        acc = None
+        for j in range(4):
+            acc = gc.add(acc, pts[g * 4 + j])
+        want.append(acc)
+    assert curve.decode_points(got) == want
