@@ -344,7 +344,10 @@ class FieldOps:
             [lax.slice_in_dim(suf, 1, a.shape[axis], axis=axis), ones],
             dimension=axis % a.ndim,
         )
-        invs = self.mul(self.mul(pre_excl, suf_excl), allinv)
+        # broadcast the total inverse back over the scanned axis (leading
+        # batch axes before `axis` are preserved)
+        allinv_b = jnp.expand_dims(allinv, axis % a.ndim)
+        invs = self.mul(self.mul(pre_excl, suf_excl), allinv_b)
         return allinv, invs
 
     @jit_method(static_argnums=(2,))

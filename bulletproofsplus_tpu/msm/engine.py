@@ -174,8 +174,12 @@ def tree_sum(curve, points):
     # the grouped kernel handles leading axes natively but its revisiting
     # out-window pattern does not compile under vmap batching — batched
     # tracers take the XLA tree (callers wanting the kernel pass stacked
-    # leading axes instead of vmapping, e.g. batchprove's bit commitment)
-    if (_ladder_ok(curve) and n >= 1024
+    # leading axes instead of vmapping, e.g. batchprove's bit commitment).
+    # Threshold on TOTAL lanes (leading axes are kernel groups).
+    total = n
+    for d in points.shape[:-3]:
+        total *= d
+    if (_ladder_ok(curve) and n > 1 and total >= 2048
             and not isinstance(points, BatchTracer)):
         from ..curves.pallas_curve import sum_points_grouped
 

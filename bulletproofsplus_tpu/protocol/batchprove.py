@@ -261,9 +261,17 @@ def batch_prove(
         enc2 = lambda arr: jnp.asarray(  # noqa: E731
             fn.encode([int(x) for x in arr.reshape(-1)])
         ).reshape(*arr.shape, fn.L)
-        L_vec, R_vec, A, B, r_p, s_p, d_p = _wip_prove_known_scan_vmap_jit(
-            curve, mn
-        )(
+        from ..msm.engine import _ladder_ok
+        from .wip import _prover_variant, _wip_prove_known_kbatched_jit
+
+        if _ladder_ok(curve) and _prover_variant() == "unrolled":
+            # batched-NATIVE program: K folded into every kernel's lane
+            # axis (one grid per call) instead of K vmap instances with
+            # ~4 ms small-grid overhead each — see the prog docstring
+            fold_prog = _wip_prove_known_kbatched_jit(curve, mn, K)
+        else:
+            fold_prog = _wip_prove_known_scan_vmap_jit(curve, mn)
+        L_vec, R_vec, A, B, r_p, s_p, d_p = fold_prog(
             a_vec, b_vec, power_of_y, alpha_hat,
             pk.G_vec, pk.H_vec, pk.g, pk.h,
             enc2(es), enc2(dLs), enc2(dRs),

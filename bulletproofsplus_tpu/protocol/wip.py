@@ -786,3 +786,125 @@ def verification_scalars(curve, proof: WipProof, n: int, transcript):
         s = fn.select(bit, fn.mul(s, challenges_sqr[logn - 1 - j]), s)
 
     return challenges_sqr, challenges_inv_sqr, s, jnp.asarray(fn.encode(e))
+
+
+def _wip_prove_known_kbatched_prog(curve, n: int, K: int):
+    """K proofs' whole fold loops as ONE BATCHED-NATIVE program — explicit
+    leading K axis, NO vmap.
+
+    Why not vmap the single-proof program: under vmap each Pallas call
+    becomes K independent grid instances, and a small-grid instance costs
+    ~4 ms regardless of size (measured: J2 kernel at 16x32 groups = 67 ms
+    device vs 2 ms for the same work flattened to one 512-group grid).
+    With 2 calls x log2(n) rounds x K=16 instances that overhead WAS the
+    fold time. Here every round's points/scalars carry the K axis and
+    joint_ladder_msm_grouped flattens (K, rows, W) into ONE kernel grid.
+    Outputs are identical to the vmapped unrolled program."""
+    fn = curve.fn
+    logn = n.bit_length() - 1
+    nbits = fn.order_bits
+    hs = [n >> (r + 1) for r in range(logn)]
+    from ..curves.pallas_curve import joint_ladder_msm_grouped
+
+    def f(a, b, power_of_y, alpha, G, H, g, h,
+          es_m, dLs_m, dRs_m, r_m, s_m, delta_m, eta_m, ef_m):
+        # a, b, power_of_y: (K, n, L); alpha: (K, L); es/dLs/dRs: (K, logn, L)
+        _, es_inv = fn.batch_invert(es_m, axis=1)
+        es_sqr = fn.mul(es_m, es_m)
+        es_inv_sqr = fn.mul(es_inv, es_inv)
+        ynhats = power_of_y[:, np.array([h_ - 1 for h_ in hs])]  # (K,logn,L)
+        _, ynhat_invs = fn.batch_invert(ynhats, axis=1)
+
+        Gk = jnp.broadcast_to(G, (K, *G.shape))
+        Hk = jnp.broadcast_to(H, (K, *H.shape))
+        gk = jnp.broadcast_to(g, (K, *g.shape))
+        hk = jnp.broadcast_to(h, (K, *h.shape))
+
+        Ls, Rs = [], []
+        for r in range(logn):
+            half = hs[r]
+            e_m, e_inv = es_m[:, r], es_inv[:, r]          # (K, L)
+            ynhat, ynhat_inv = ynhats[:, r], ynhat_invs[:, r]
+            dL, dR = dLs_m[:, r], dRs_m[:, r]
+            a1, a2 = a[:, :half], a[:, half:]
+            b1, b2 = b[:, :half], b[:, half:]
+            G1, G2 = Gk[:, :half], Gk[:, half:]
+            H1, H2 = Hk[:, :half], Hk[:, half:]
+            y1 = power_of_y[:, :half]
+
+            c_L = fn.sum(fn.mul(fn.mul(a1, b2), y1), axis=1)
+            c_R = fn.sum(fn.mul(fn.mul(a2, b1),
+                                fn.mul(y1, ynhat[:, None])), axis=1)
+
+            sL = jnp.concatenate(
+                [fn.mul(a1, ynhat_inv[:, None]), b2,
+                 c_L[:, None], dL[:, None]], axis=1)
+            sR = jnp.concatenate(
+                [fn.mul(a2, ynhat[:, None]), b1,
+                 c_R[:, None], dR[:, None]], axis=1)
+            S = jnp.stack([sL, sR], axis=1)                # (K, 2, W, L)
+            P = jnp.stack([
+                jnp.concatenate([G2, H1, gk[:, None], hk[:, None]], axis=1),
+                jnp.concatenate([G1, H2, gk[:, None], hk[:, None]], axis=1),
+            ], axis=1)                                     # (K, 2, W, C, L)
+            LR = _joint_rows_msm(curve, fn.from_mont(S), P, nbits)
+            Ls.append(LR[:, 0])
+            Rs.append(LR[:, 1])
+
+            # folds
+            a = fn.add(fn.mul(a1, e_m[:, None]),
+                       fn.mul(a2, fn.mul(ynhat, e_inv)[:, None]))
+            b = fn.add(fn.mul(b1, e_inv[:, None]), fn.mul(b2, e_m[:, None]))
+            fold4 = fn.from_mont(jnp.stack(
+                [e_inv, fn.mul(ynhat_inv, e_m), e_m, e_inv], axis=1))
+            # pairs (G1[i], G2[i]) and (H1[i], H2[i]): (K, 2·half, 2, ...)
+            pair_p = jnp.concatenate([
+                jnp.stack([G1, G2], axis=2),
+                jnp.stack([H1, H2], axis=2),
+            ], axis=1).reshape(K, 4 * half, *G.shape[-2:])
+            pair_s = jnp.concatenate([
+                jnp.broadcast_to(fold4[:, None, :2], (K, half, 2, fn.L)),
+                jnp.broadcast_to(fold4[:, None, 2:], (K, half, 2, fn.L)),
+            ], axis=1).reshape(K, 4 * half, fn.L)
+            out = joint_ladder_msm_grouped(curve, pair_s, pair_p, nbits, 2)
+            Gk, Hk = out[:, :half], out[:, half:]
+            alpha = fn.add(alpha, fn.add(
+                fn.mul(es_sqr[:, r], dL), fn.mul(es_inv_sqr[:, r], dR)))
+
+        # final A, B (wip:181-208)
+        y0 = power_of_y[:, 0]
+        a0, b0 = a[:, 0], b[:, 0]
+        rcbsca = fn.add(
+            fn.mul(fn.mul(r_m, y0), b0), fn.mul(fn.mul(s_m, y0), a0))
+        rcs = fn.mul(fn.mul(r_m, y0), s_m)
+        ident = jnp.asarray(curve.identity_np)
+        AB_s = jnp.stack([
+            jnp.stack([r_m, s_m, rcbsca, delta_m], axis=1),
+            jnp.stack([rcs, eta_m, fn.zero_like(r_m),
+                       fn.zero_like(r_m)], axis=1),
+        ], axis=1)                                         # (K, 2, 4, L)
+        AB_p = jnp.stack([
+            jnp.stack([Gk[:, 0], Hk[:, 0], gk, hk], axis=1),
+            jnp.stack([gk, hk,
+                       jnp.broadcast_to(ident, gk.shape),
+                       jnp.broadcast_to(ident, gk.shape)], axis=1),
+        ], axis=1)                                         # (K, 2, 4, C, L)
+        AB = _joint_rows_msm(curve, fn.from_mont(AB_s), AB_p, nbits)
+        A, B = AB[:, 0], AB[:, 1]
+
+        r_prime = fn.add(r_m, fn.mul(a0, ef_m))
+        s_prime = fn.add(s_m, fn.mul(b0, ef_m))
+        d_prime = fn.add(eta_m, fn.add(
+            fn.mul(delta_m, ef_m), fn.mul(alpha, fn.mul(ef_m, ef_m))))
+        L_vec = jnp.stack(Ls, axis=1) if Ls else jnp.zeros(
+            (K, 0, *A.shape[-2:]), jnp.int32)
+        R_vec = jnp.stack(Rs, axis=1) if Rs else jnp.zeros(
+            (K, 0, *A.shape[-2:]), jnp.int32)
+        return L_vec, R_vec, A, B, r_prime, s_prime, d_prime
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _wip_prove_known_kbatched_jit(curve, n: int, K: int):
+    return jax.jit(_wip_prove_known_kbatched_prog(curve, n, K))
