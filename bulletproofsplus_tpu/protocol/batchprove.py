@@ -262,12 +262,25 @@ def batch_prove(
             fn.encode([int(x) for x in arr.reshape(-1)])
         ).reshape(*arr.shape, fn.L)
         from ..msm.engine import _ladder_ok
-        from .wip import _prover_variant, _wip_prove_known_kbatched_jit
+        from .wip import (
+            _prover_pallas,
+            _prover_variant,
+            _wip_prove_known_kbatched_jit,
+        )
 
-        if _ladder_ok(curve) and _prover_variant() == "unrolled":
+        if (_ladder_ok(curve) and _prover_variant() == "unrolled"
+                and _prover_pallas()
+                and os.environ.get("BPP_PROVER_KBATCHED", "0") == "1"):
             # batched-NATIVE program: K folded into every kernel's lane
             # axis (one grid per call) instead of K vmap instances with
-            # ~4 ms small-grid overhead each — see the prog docstring
+            # ~4 ms small-grid overhead each — see the prog docstring.
+            # OPT-IN (BPP_PROVER_KBATCHED=1) until validated on hardware:
+            # the round-3 driver bench showed its proofs failing
+            # batch_verify on TPU (BENCH_r03.json rc=1) while the vmapped
+            # program below verified clean — validate with
+            # scripts/validate_prover_pallas.py before flipping the
+            # default. Gated on _prover_pallas() so BPP_PROVER_PALLAS=0
+            # still forces the XLA comparison baseline.
             fold_prog = _wip_prove_known_kbatched_jit(curve, mn, K)
         else:
             fold_prog = _wip_prove_known_scan_vmap_jit(curve, mn)

@@ -95,30 +95,53 @@ def main():
     print(f"Pallas ladder:   {t_pal:.3f}s = {t_pal / K * 1e3:.1f} ms/proof "
           f"({t_xla / t_pal:.2f}x)")
 
-    ok = True
-    for f in SCALAR_FIELDS:
-        if not np.array_equal(base[f], pal[f]):
-            print("  scalar mismatch in", f)
-            ok = False
-    for f in POINT_FIELDS:
-        if not points_equal(curve, base[f], pal[f]):
-            print("  point mismatch in", f)
-            ok = False
-    print("proofs equal (scalars byte-exact, points affine-equal):", ok)
-
-    # end-to-end: verify the Pallas-path batch through the production
-    # verifier, which consumes RAW limb tensors (T coordinate included) —
-    # catches internally inconsistent points that are affine-equal
     from bulletproofsplus_tpu.protocol import batch_verify
 
     commits = jnp.stack([jnp.stack(p.commitment_vec) for p in provers])
+
+    def check(tag, ref, got, got_pb) -> bool:
+        ok = True
+        for f in SCALAR_FIELDS:
+            if not np.array_equal(ref[f], got[f]):
+                print(f"  [{tag}] scalar mismatch in", f)
+                ok = False
+        for f in POINT_FIELDS:
+            if not points_equal(curve, ref[f], got[f]):
+                print(f"  [{tag}] point mismatch in", f)
+                ok = False
+        print(f"[{tag}] proofs equal (scalars byte-exact, points "
+              f"affine-equal):", ok)
+        # end-to-end: verify through the production verifier, which
+        # consumes RAW limb tensors (T coordinate included) — catches
+        # internally inconsistent points that are affine-equal
+        try:
+            batch_verify(
+                curve, pk, n, got_pb, commits,
+                transcripts=[DeterministicTranscript(m) for _ in provers])
+            print(f"[{tag}] batch_verify: ok")
+        except Exception as exc:  # noqa: BLE001
+            print(f"[{tag}] batch_verify FAILED:", exc)
+            ok = False
+        return ok
+
+    ok = check("pallas-vmap", base, pal, pb)
+
+    # phase 3: the K-batched-native program (opt-in BPP_PROVER_KBATCHED=1;
+    # flattens K into every kernel's lane axis instead of vmapping) against
+    # the vmapped Pallas baseline — this is the validation gate for making
+    # it the default
+    os.environ["BPP_PROVER_KBATCHED"] = "1"
     try:
-        batch_verify(curve, pk, n, pb, commits,
-                     transcripts=[DeterministicTranscript(m) for _ in provers])
-        print("batch_verify(Pallas proofs): ok")
+        pbk, kb, _ = run(curve, pk, n, provers)  # warm
+        pbk, kb, t_kb = run(curve, pk, n, provers)
+        print(f"K-batched:       {t_kb:.3f}s = {t_kb / K * 1e3:.1f} ms/proof "
+              f"({t_pal / t_kb:.2f}x vs pallas-vmap)")
+        ok = check("kbatched", pal, kb, pbk) and ok
     except Exception as exc:  # noqa: BLE001
-        print("batch_verify(Pallas proofs) FAILED:", exc)
+        print("[kbatched] prove FAILED:", exc)
         ok = False
+    finally:
+        del os.environ["BPP_PROVER_KBATCHED"]
     if not ok:
         sys.exit(1)
 
