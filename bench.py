@@ -32,6 +32,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("BPP_BENCH_CPU") == "1":
+    # hermetic/local runs: force XLA:CPU before any backend init (the
+    # machine's sitecustomize pins the remote axon TPU platform, which
+    # overrides the JAX_PLATFORMS env var — jax.config wins over both)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from bulletproofsplus_tpu.utils.cache import setup_compilation_cache
 
 setup_compilation_cache()
@@ -179,6 +187,7 @@ def main():
         times.append(time.time() - t0)
     single_verify_s = min(times)
 
+    errors = []
     if BATCH > 1:
         import jax.numpy as jnp
 
@@ -203,30 +212,46 @@ def main():
         def rng_list():
             return [make_rng(curve, m) for _ in range(BATCH)]
 
-        pbatch = batch_prove(curve, pk, n, provers,
-                             transcripts=tr_list(), rngs=rng_list())
-        np.asarray(pbatch.r_prime)  # warmup
-        bptimes = []
-        for _ in range(REPS):
-            t0 = time.time()
+        # Phase containment: a failure in the batch pipeline must not lose
+        # the whole benchmark (the round-3 driver run died with rc=1 and
+        # recorded nothing) — fall back to the measured single-proof
+        # numbers and carry the error in the JSON for the record.
+        try:
             pbatch = batch_prove(curve, pk, n, provers,
                                  transcripts=tr_list(), rngs=rng_list())
-            np.asarray(pbatch.r_prime)
-            np.asarray(pbatch.L_vec)
-            bptimes.append(time.time() - t0)
-        prove_s_per_proof = min(bptimes) / BATCH
+            np.asarray(pbatch.r_prime)  # warmup
+            bptimes = []
+            for _ in range(REPS):
+                t0 = time.time()
+                pbatch = batch_prove(curve, pk, n, provers,
+                                     transcripts=tr_list(), rngs=rng_list())
+                np.asarray(pbatch.r_prime)
+                np.asarray(pbatch.L_vec)
+                bptimes.append(time.time() - t0)
+            prove_s_per_proof = min(bptimes) / BATCH
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"batch_prove: {type(exc).__name__}: {exc}")
+            prove_s_per_proof = prove_s
+            pbatch = None
 
-        batch_verify(curve, pk, n, pbatch, commits,
-                     transcripts=tr_list())  # warmup
-        btimes = []
-        for _ in range(REPS):
-            t0 = time.time()
+        try:
+            if pbatch is None:
+                raise RuntimeError("batch_prove failed; skipping")
             batch_verify(curve, pk, n, pbatch, commits,
-                         transcripts=tr_list())
-            btimes.append(time.time() - t0)
-        batch_verify_s = min(btimes)
-        verify_s_per_proof = batch_verify_s / BATCH
-        sol = batch_verify_sol(curve, n, m, BATCH, batch_verify_s)
+                         transcripts=tr_list())  # warmup
+            btimes = []
+            for _ in range(REPS):
+                t0 = time.time()
+                batch_verify(curve, pk, n, pbatch, commits,
+                             transcripts=tr_list())
+                btimes.append(time.time() - t0)
+            batch_verify_s = min(btimes)
+            verify_s_per_proof = batch_verify_s / BATCH
+            sol = batch_verify_sol(curve, n, m, BATCH, batch_verify_s)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"batch_verify: {type(exc).__name__}: {exc}")
+            verify_s_per_proof = single_verify_s
+            sol = batch_verify_sol(curve, n, m, 1, single_verify_s)
     else:
         verify_s_per_proof = single_verify_s
         prove_s_per_proof = prove_s
@@ -252,8 +277,12 @@ def main():
             "sol_pct": sol["sol_pct"],
             "sol_point_ops": sol["point_ops"],
             "backend": __import__("jax").default_backend(),
+            **({"errors": errors} if errors else {}),
         },
     }))
+    if errors:
+        # visible in the driver tail without breaking the JSON contract
+        print("BENCH PHASE ERRORS:", "; ".join(errors), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -169,7 +169,13 @@ def tree_sum(curve, points):
     try:
         from jax._src.interpreters.batching import BatchTracer
     except ImportError:  # moved across jax versions
-        from jax.interpreters.batching import BatchTracer
+        try:
+            from jax.interpreters.batching import BatchTracer
+        except Exception:
+            # unlocatable in this jax: we can no longer tell batched
+            # tracers apart, so disable the grouped-kernel fast path
+            # entirely and degrade to the XLA tree below
+            BatchTracer = None
 
     # the grouped kernel handles leading axes natively but its revisiting
     # out-window pattern does not compile under vmap batching — batched
@@ -180,6 +186,7 @@ def tree_sum(curve, points):
     for d in points.shape[:-3]:
         total *= d
     if (_ladder_ok(curve) and n > 1 and total >= 2048
+            and BatchTracer is not None
             and not isinstance(points, BatchTracer)):
         from ..curves.pallas_curve import sum_points_grouped
 

@@ -61,7 +61,10 @@ def _pick_grid(N: int, R: int, nwin: int):
     rounds to 16 to keep the compiled-program count small."""
     env = os.environ.get("BPP_PIPPENGER_K")
     if env:
-        K = int(env)
+        # the slice-grid merge halves K per level — round a non-power-of-two
+        # override UP to the next power of two rather than silently
+        # mis-broadcasting in the merge loop
+        K = _next_pow2(max(1, int(env)))
     else:
         K = min(64, max(1, _next_pow2(4096 // max(1, R * nwin))))
         if N < 256:

@@ -593,8 +593,10 @@ def _wip_prove_known_jit_impl(curve, n: int, scan: bool, pallas: bool):
 
 
 def _wip_prove_known_scan_jit(curve, n: int):
-    """Single-proof whole-fold program. Default: the coefficient-form
-    prover (no generator folds; one batched multi-row MSM). The lax.scan
+    """Single-proof whole-fold program. Default: the unrolled true-width
+    fold rounds (_prover_variant()). The coefficient-form prover (no
+    generator folds; one batched multi-row MSM) is opt-in via
+    BPP_PROVER=coeff pending its fixed-base MSM backend; the lax.scan
     variant remains selectable — its one-body compile is minutes cheaper
     than unrolling on the TPU toolchain (the unrolled single-proof compile
     exceeded 40 min at n=1024); single-prove latency is dispatch-bound."""
@@ -622,11 +624,12 @@ def _wip_prove_known_vmap_jit_impl(curve, n: int, scan: bool, pallas: bool):
 def _wip_prove_known_scan_vmap_jit(curve, n: int):
     """Batched variant: K proofs' whole fold loops in one compiled program
     (pk generators broadcast, everything else carries a leading K axis).
-    Default: the coefficient-form prover (wip_coeff.py — all rounds' L/R
-    as one K·(2·logn+1)-row MSM over the shared pk bases, no generator
-    folds). BPP_PROVER=unrolled selects the true-width fold rounds
-    (~4x faster per proof than the masked constant-shape scan: 0.37 s vs
-    1.52 s at n=1024, K=16); BPP_PROVER=scan the constant-shape body."""
+    Default: the unrolled true-width fold rounds (~4x faster per proof
+    than the masked constant-shape scan: 0.37 s vs 1.52 s at n=1024,
+    K=16). The coefficient-form prover (wip_coeff.py — all rounds' L/R as
+    one K·(2·logn+1)-row MSM over the shared pk bases, no generator folds)
+    is opt-in via BPP_PROVER=coeff pending its fixed-base MSM backend;
+    BPP_PROVER=scan selects the constant-shape body."""
     variant = _prover_variant()
     if variant == "coeff":
         from .wip_coeff import wip_prove_coeff_vmap_jit

@@ -48,13 +48,17 @@ def setup_compilation_cache(path: str | None = None) -> None:
     except Exception:
         pass
     plats = plats or os.environ.get("JAX_PLATFORMS", "")
-    backend = "cpu" if "cpu" in plats else "accel"
+    isa = None
+    for tok in os.environ.get("XLA_FLAGS", "").split():
+        if tok.startswith("--xla_cpu_max_isa="):
+            isa = tok.split("=", 1)[1].lower()
+    # An unset platform (the common library-import case) with an ISA pin in
+    # XLA_FLAGS means a CPU run: classify it as such so pinned and unpinned
+    # CPU processes never share a partition (the deserialize-segfault
+    # scenario the partition exists to prevent).
+    backend = "cpu" if ("cpu" in plats or (not plats and isa)) else "accel"
     if backend == "cpu":
-        isa = "native"
-        for tok in os.environ.get("XLA_FLAGS", "").split():
-            if tok.startswith("--xla_cpu_max_isa="):
-                isa = tok.split("=", 1)[1].lower()
-        path = os.path.join(path, f"cpu-{isa}")
+        path = os.path.join(path, f"cpu-{isa or 'native'}")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -123,6 +123,61 @@ def test_joint_ladder_grouped_matches_golden(name, jway):
     assert curve.decode_points(got) == want
 
 
+def test_joint_ladder_grouped_two_lead_axes():
+    """The K-batched prover calls the joint ladder with TWO leading axes
+    ((K, 2, W) L/R rows — wip._wip_prove_known_kbatched_prog); cover that
+    flattening (lead product not a multiple of anything convenient) in
+    interpret mode."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import (
+        joint_ladder_msm_grouped,
+    )
+
+    curve = curve_ops("edwards25519")
+    gc = golden_curve("edwards25519")
+    rng = random.Random(17)
+    nbits = 16
+    K, R, W, jway = 3, 2, 8, 4
+    ks = [rng.randrange(1 << nbits) for _ in range(K * R * W)]
+    pts = [gc.mul(gc.base(), i + 3) for i in range(K * R * W)]
+    s = jnp.asarray(curve.fn.encode_plain(ks)).reshape(K, R, W, -1)
+    P0 = jnp.asarray(curve.encode_points(pts))
+    P = P0.reshape(K, R, W, *P0.shape[-2:])
+    got = joint_ladder_msm_grouped(curve, s, P, nbits, jway, interpret=True)
+    assert got.shape[:3] == (K, R, W // jway)
+    want = []
+    for g in range(K * R * W // jway):
+        acc = None
+        for j in range(jway):
+            acc = gc.add(acc, gc.mul(pts[g * jway + j], ks[g * jway + j]))
+        want.append(acc)
+    flat = got.reshape(-1, *got.shape[-2:])
+    assert curve.decode_points(flat) == want
+
+
+def test_sum_points_grouped_two_lead_axes():
+    """tree_sum's grouped-kernel path with (K, R, W) inputs and a W that
+    pads inside one block — the K-batched LR reduction shape."""
+    from bulletproofsplus_tpu.curves import curve_ops, golden_curve
+    from bulletproofsplus_tpu.curves.pallas_curve import sum_points_grouped
+
+    curve = curve_ops("edwards25519")
+    gc = golden_curve("edwards25519")
+    K, R, W = 3, 2, 5
+    pts = [gc.mul(gc.base(), i + 1) for i in range(K * R * W)]
+    P0 = jnp.asarray(curve.encode_points(pts))
+    P = P0.reshape(K, R, W, *P0.shape[-2:])
+    got = sum_points_grouped(curve, P, interpret=True)
+    assert got.shape[:2] == (K, R)
+    want = []
+    for g in range(K * R):
+        acc = None
+        for j in range(W):
+            acc = gc.add(acc, pts[g * W + j])
+        want.append(acc)
+    assert curve.decode_points(got.reshape(-1, *got.shape[-2:])) == want
+
+
 @pytest.mark.parametrize("name", ["edwards25519", "secp256k1"])
 def test_sum_points_grouped_matches_golden(name):
     """Grouped accumulate-reduce kernel (one pass + in-register rotate-add

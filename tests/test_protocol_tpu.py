@@ -259,9 +259,10 @@ def test_default_mode_is_randomized_and_sound(curve_name):
 
 
 def test_coeff_prover_bit_exact(monkeypatch):
-    """The COEFFICIENT-FORM prover (wip_coeff.py — the TPU default: no
-    generator folds, every round's L/R a packed fixed-base MSM row over
-    the original pk generators) must match the golden oracle byte-for-byte
+    """The COEFFICIENT-FORM prover (wip_coeff.py — opt-in via
+    BPP_PROVER=coeff pending its fixed-base MSM backend: no generator
+    folds, every round's L/R a packed fixed-base MSM row over the
+    original pk generators) must match the golden oracle byte-for-byte
     on scalars and affine points."""
     monkeypatch.setenv("BPP_FUSE_PROVER", "1")
     monkeypatch.setenv("BPP_PROVER", "coeff")
