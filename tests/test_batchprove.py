@@ -163,3 +163,80 @@ def test_batch_verify_fused_path_matches_m1(monkeypatch, fb):
     with pytest.raises(VerificationError):
         _batch_verify_fused(
             curve, pk, n, m, bad, V_all, [None] * K, lambda: 987654321)
+
+
+def test_kbatched_program_math_matches_vmap(monkeypatch):
+    """The K-batched-native whole-fold program
+    (wip._wip_prove_known_kbatched_prog — opt-in BPP_PROVER_KBATCHED=1 on
+    TPU) must compute the SAME function as the vmapped unrolled program.
+
+    Pallas does not run on XLA:CPU, so the joint-ladder kernel is replaced
+    by an XLA reference (per-lane scalar_mul + group sums) — this checks
+    the program's MATH (the K-axis indexing, batched inversions, fold
+    bookkeeping); the kernels themselves are covered at kbatched shapes in
+    interpret mode by test_pallas.py, and on hardware by
+    scripts/validate_prover_pallas.py's [kbatched] phase."""
+    import numpy as np
+
+    from bulletproofsplus_tpu.curves import pallas_curve
+    from bulletproofsplus_tpu.msm.engine import _scalar_mul_jit
+    from bulletproofsplus_tpu.protocol import wip
+
+    def ref_joint_grouped(curve, scalars, points, nbits, jway,
+                          interpret=False):
+        fn = curve.fn
+        lead = points.shape[:-3]
+        N = points.shape[-3]
+        assert N % jway == 0
+        G = N // jway
+        sm = _scalar_mul_jit(curve, nbits)
+        prods = sm(jnp.broadcast_to(jnp.asarray(scalars), (*lead, N, fn.L)),
+                   points)
+        prods = prods.reshape(*lead, G, jway, *prods.shape[-2:])
+        out = prods[..., 0, :, :]
+        for j in range(1, jway):
+            out = curve.add(out, prods[..., j, :, :])
+        return out
+
+    monkeypatch.setattr(
+        pallas_curve, "joint_ladder_msm_grouped", ref_joint_grouped)
+
+    curve = curve_ops("edwards25519")
+    fn = curve.fn
+    n, K = 8, 3
+    logn = 3
+    pk = PublicKey.new(curve, n)
+
+    import jax
+
+    rng = np.random.RandomState(0)
+
+    def rnd(*shape):
+        vals = [int(rng.randint(1, 1 << 30))
+                for _ in range(int(np.prod(shape)))]
+        return jnp.asarray(fn.encode(vals)).reshape(*shape, fn.L)
+
+    a, b = rnd(K, n), rnd(K, n)
+    ys = [int(rng.randint(2, 1 << 20)) for _ in range(K)]
+    pys = [[pow(y, i + 1, fn.p) for i in range(n)] for y in ys]
+    power_of_y = jnp.asarray(
+        fn.encode([v for row in pys for v in row])).reshape(K, n, fn.L)
+    args = (a, b, power_of_y, rnd(K), pk.G_vec, pk.H_vec, pk.g, pk.h,
+            rnd(K, logn), rnd(K, logn), rnd(K, logn),
+            rnd(K), rnd(K), rnd(K), rnd(K), rnd(K))
+
+    kb = jax.jit(wip._wip_prove_known_kbatched_prog(curve, n, K))(*args)
+    ref = wip._wip_prove_known_vmap_jit_impl(curve, n, False, False)(*args)
+
+    for name, x, y in zip(
+            ("L_vec", "R_vec", "A", "B", "r_prime", "s_prime", "d_prime"),
+            kb, ref):
+        x, y = np.asarray(x), np.asarray(y)
+        if name in ("r_prime", "s_prime", "d_prime"):
+            assert np.array_equal(x, y), name
+        else:
+            xs = x.reshape(-1, *x.shape[-2:])
+            ys_ = y.reshape(-1, *y.shape[-2:])
+            for i in range(xs.shape[0]):
+                assert curve.decode_point(xs[i]) == curve.decode_point(
+                    ys_[i]), (name, i)
