@@ -11,9 +11,10 @@ Two transcript regimes:
 - known-ahead challenges (DeterministicTranscript replay): THREE dispatches
   total for the whole batch;
 - interactive Fiat-Shamir (ShaTranscript): the K transcripts hash in
-  lockstep — one vmapped L/R program per round, ONE device→host fetch of all
-  K proofs' (L, R), K host hashes, one vmapped fold program — i.e.
-  2·log2(mn) dispatches for the whole batch instead of per proof.
+  lockstep — per round ONE fused vmapped program (previous round's fold +
+  this round's L/R), ONE device→host fetch of all K proofs' (L, R), K host
+  hashes — i.e. log2(mn)+1 dispatches for the whole batch instead of
+  2·log2(mn) per proof (BPP_FUSE_ROUNDS=0 splits fold and L/R again).
 """
 from __future__ import annotations
 
@@ -38,7 +39,10 @@ from .range import (
 from .wip import (
     _final_ab_core,
     _final_scalars_core,
+    _fuse_rounds_ok,
     _round_fold_core,
+    _round_fold_final_core,
+    _round_fold_lr_core,
     _round_lr_core,
     _fold_pad,
     _wip_prove_known_scan_vmap_jit,
@@ -81,6 +85,23 @@ def _round_fold_vmap_jit(curve, n: int, fold_pad: int):
     return jax.jit(jax.vmap(
         functools.partial(_round_fold_core, curve, fold_pad),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_lr_vmap_jit(curve, n: int, fold_pad: int):
+    return jax.jit(jax.vmap(
+        functools.partial(_round_fold_lr_core, curve, fold_pad),
+        in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_final_vmap_jit(curve, n: int, fold_pad: int):
+    return jax.jit(jax.vmap(
+        functools.partial(_round_fold_final_core, curve, fold_pad),
+        in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0, 0,
+                 0, 0, 0, 0),
     ))
 
 
@@ -297,8 +318,10 @@ def batch_prove(
             r_prime=r_p, s_prime=s_p, d_prime=d_p,
         )
 
-    # interactive path: K transcripts advance in lockstep, one vmapped
-    # L/R + fold program pair per round
+    # interactive path: K transcripts advance in lockstep; by default each
+    # round is ONE fused vmapped program (previous round's fold + this
+    # round's L/R — log2(mn)+1 dispatches total); BPP_FUSE_ROUNDS=0
+    # restores the separate L/R + fold program pair per round
     fold_pad = _fold_pad(mn)
     a, b, y_pow = a_vec, b_vec, power_of_y
     G = jnp.broadcast_to(pk.G_vec, (K, *pk.G_vec.shape))
@@ -306,41 +329,86 @@ def batch_prove(
     alpha = alpha_hat
     L_cols, R_cols = [], []
     size = mn
-    while size != 1:
-        blinds = [r.round_blinds() for r in rngs]
-        dL_m = jnp.asarray(fn.encode([b_[0] for b_ in blinds]))
-        dR_m = jnp.asarray(fn.encode([b_[1] for b_ in blinds]))
-        L, R, y_nhat, y_nhat_inv = _round_lr_vmap_jit(curve, size)(
-            a, b, y_pow, G, H, pk.g, pk.h, dL_m, dR_m
-        )
-        L_cols.append(L)
-        R_cols.append(R)
+
+    def enc_col(vals):
+        return jnp.asarray(fn.encode(vals))
+
+    def hash_round(L, R):
         # ONE fetch + ONE batched affine decode for all K (the transcripts
         # hash pre-decoded (x, y) tuples; per-point Fermat pows were the
         # sha-mode hot spot)
         L_aff = curve.decode_points(np.asarray(L))
         R_aff = curve.decode_points(np.asarray(R))
-        es_r = [
+        return enc_col([
             t.round_challenge(curve, L_aff[i], R_aff[i]) % fn.p
             for i, t in enumerate(transcripts)
-        ]
-        a, b, y_pow, G, H, alpha = _round_fold_vmap_jit(
+        ])
+
+    def draw_blinds():
+        blinds = [r.round_blinds() for r in rngs]
+        return (enc_col([b_[0] for b_ in blinds]),
+                enc_col([b_[1] for b_ in blinds]))
+
+    if _fuse_rounds_ok() and size > 1:
+        dL_m, dR_m = draw_blinds()
+        L, R, y_nhat, y_nhat_inv = _round_lr_vmap_jit(curve, size)(
+            a, b, y_pow, G, H, pk.g, pk.h, dL_m, dR_m
+        )
+        L_cols.append(L)
+        R_cols.append(R)
+        e_m = hash_round(L, R)
+        while size > 2:
+            dL2_m, dR2_m = draw_blinds()
+            (L, R, a, b, y_pow, G, H, alpha,
+             y_nhat, y_nhat_inv) = _round_fold_lr_vmap_jit(
+                curve, size, fold_pad
+            )(
+                a, b, y_pow, G, H, pk.g, pk.h, alpha,
+                dL_m, dR_m, e_m, y_nhat, y_nhat_inv, dL2_m, dR2_m,
+            )
+            L_cols.append(L)
+            R_cols.append(R)
+            e_m = hash_round(L, R)
+            dL_m, dR_m = dL2_m, dR2_m
+            size //= 2
+        finals = [r.final_blinds() for r in rngs]
+        r_m = enc_col([f[0] for f in finals])
+        s_m = enc_col([f[1] for f in finals])
+        delta_m = enc_col([f[2] for f in finals])
+        eta_m = enc_col([f[3] for f in finals])
+        A, B, a, b, alpha = _round_fold_final_vmap_jit(
             curve, size, fold_pad
         )(
-            a, b, y_pow, G, H, alpha, dL_m, dR_m,
-            jnp.asarray(fn.encode(es_r)), y_nhat, y_nhat_inv,
+            a, b, y_pow, G, H, pk.g, pk.h, alpha,
+            dL_m, dR_m, e_m, y_nhat, y_nhat_inv,
+            r_m, s_m, delta_m, eta_m,
         )
-        size //= 2
+    else:
+        while size != 1:
+            dL_m, dR_m = draw_blinds()
+            L, R, y_nhat, y_nhat_inv = _round_lr_vmap_jit(curve, size)(
+                a, b, y_pow, G, H, pk.g, pk.h, dL_m, dR_m
+            )
+            L_cols.append(L)
+            R_cols.append(R)
+            es_m = hash_round(L, R)
+            a, b, y_pow, G, H, alpha = _round_fold_vmap_jit(
+                curve, size, fold_pad
+            )(
+                a, b, y_pow, G, H, alpha, dL_m, dR_m,
+                es_m, y_nhat, y_nhat_inv,
+            )
+            size //= 2
 
-    finals = [r.final_blinds() for r in rngs]
-    r_m = jnp.asarray(fn.encode([f[0] for f in finals]))
-    s_m = jnp.asarray(fn.encode([f[1] for f in finals]))
-    delta_m = jnp.asarray(fn.encode([f[2] for f in finals]))
-    eta_m = jnp.asarray(fn.encode([f[3] for f in finals]))
-    A, B = _final_ab_vmap_jit(curve)(
-        a, b, y_pow[:, 0], G[:, 0], H[:, 0], pk.g, pk.h,
-        r_m, s_m, delta_m, eta_m,
-    )
+        finals = [r.final_blinds() for r in rngs]
+        r_m = jnp.asarray(fn.encode([f[0] for f in finals]))
+        s_m = jnp.asarray(fn.encode([f[1] for f in finals]))
+        delta_m = jnp.asarray(fn.encode([f[2] for f in finals]))
+        eta_m = jnp.asarray(fn.encode([f[3] for f in finals]))
+        A, B = _final_ab_vmap_jit(curve)(
+            a, b, y_pow[:, 0], G[:, 0], H[:, 0], pk.g, pk.h,
+            r_m, s_m, delta_m, eta_m,
+        )
     A_aff = curve.decode_points(np.asarray(A))
     B_aff = curve.decode_points(np.asarray(B))
     efs = [

@@ -159,6 +159,45 @@ def _round_fold_core(curve, fold_pad, a, b, power_of_y, G, H, alpha,
     return a_next, b_next, power_of_y[:n], G_next, H_next, alpha_next
 
 
+def _round_fold_lr_core(curve, fold_pad, a, b, power_of_y, G, H, g, h,
+                        alpha, d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv,
+                        d_L2_m, d_R2_m):
+    """Fold round r (challenge e known) AND emit round r+1's L/R in ONE
+    program. The interactive Fiat-Shamir prover must round-trip to the host
+    between L/R and the challenge; fusing the *following* fold with the
+    *next* L/R halves its device dispatches: 2·log2(mn) → log2(mn)+1
+    (wip:147-171 then :90-125)."""
+    a, b, power_of_y, G, H, alpha = _round_fold_core(
+        curve, fold_pad, a, b, power_of_y, G, H, alpha,
+        d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv)
+    L, R, y_nhat2, y_nhat_inv2 = _round_lr_core(
+        curve, a, b, power_of_y, G, H, g, h, d_L2_m, d_R2_m)
+    return L, R, a, b, power_of_y, G, H, alpha, y_nhat2, y_nhat_inv2
+
+
+def _round_fold_final_core(curve, fold_pad, a, b, power_of_y, G, H, g, h,
+                           alpha, d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv,
+                           r_m, s_m, delta_m, eta_m):
+    """Last fold + the final A/B commitments in ONE program (wip:147-171
+    then :181-208). Returns (A, B, a, b, alpha) — a, b, alpha feed the
+    final-response scalars after the host hashes (A, B) into e."""
+    a, b, power_of_y, G, H, alpha = _round_fold_core(
+        curve, fold_pad, a, b, power_of_y, G, H, alpha,
+        d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv)
+    A, B = _final_ab_core(curve, a, b, power_of_y[0], G[0], H[0], g, h,
+                          r_m, s_m, delta_m, eta_m)
+    return A, B, a, b, alpha
+
+
+def _fuse_rounds_ok() -> bool:
+    """Fuse each interactive round's fold with the next round's L/R
+    (default on — same math, strictly fewer dispatches; BPP_FUSE_ROUNDS=0
+    restores the separate per-round programs for differential debugging)."""
+    import os
+
+    return os.environ.get("BPP_FUSE_ROUNDS", "1") == "1"
+
+
 def _final_ab_core(curve, a, b, y0, G0, H0, g, h, r_m, s_m, delta_m, eta_m):
     """Final commitments A, B (wip:181-208) after the fold reaches n=1."""
     fn = curve.fn
@@ -245,6 +284,17 @@ def _round_lr_jit(curve, n: int):
 @functools.lru_cache(maxsize=None)
 def _round_fold_jit(curve, n: int, fold_pad: int):
     return jax.jit(functools.partial(_round_fold_core, curve, fold_pad))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_lr_jit(curve, n: int, fold_pad: int):
+    return jax.jit(functools.partial(_round_fold_lr_core, curve, fold_pad))
+
+
+@functools.lru_cache(maxsize=None)
+def _round_fold_final_jit(curve, n: int, fold_pad: int):
+    return jax.jit(functools.partial(_round_fold_final_core, curve,
+                                     fold_pad))
 
 
 @functools.lru_cache(maxsize=None)
@@ -649,9 +699,11 @@ def wip_prove(curve, pk, a, b, power_of_y, alpha, transcript, rng) -> WipProof:
     Two execution modes:
     - challenges known ahead (DeterministicTranscript replay): the whole
       loop is ONE compiled program (_wip_prove_known_jit);
-    - interactive Fiat-Shamir (ShaTranscript): two compiled programs per
-      round (L/R, then fold after the host hashes L/R into the challenge),
-      plus the final A/B and response programs.
+    - interactive Fiat-Shamir (ShaTranscript): ONE fused compiled program
+      per round (the previous round's fold + this round's L/R, after the
+      host hashes L/R into the challenge) plus a fused last-fold + A/B
+      program — log2(n)+1 dispatches; BPP_FUSE_ROUNDS=0 splits each round
+      into separate L/R and fold programs again.
 
     Compile discipline either way: L and R are ONE batched (2, W) MSM per
     round, and the generator folds are ONE (4, n/2-padded) scalar-mul per
@@ -704,36 +756,80 @@ def wip_prove(curve, pk, a, b, power_of_y, alpha, transcript, rng) -> WipProof:
     fold = (lambda nn: _round_fold_jit(curve, nn, fold_pad)) if fuse else (
         lambda nn: functools.partial(_round_fold_core, curve, fold_pad))
 
-    while n != 1:
+    def enc(x):
+        return jnp.asarray(fn.encode(x))
+
+    if _fuse_rounds_ok() and n > 1:
+        # fused flow: L/R of round r+1 ride in the same program as the
+        # fold of round r — log2(n)+1 dispatches instead of 2·log2(n)
+        fold_lr = (lambda nn: _round_fold_lr_jit(curve, nn, fold_pad)
+                   ) if fuse else (
+            lambda nn: functools.partial(_round_fold_lr_core, curve,
+                                         fold_pad))
+        fold_final = (lambda nn: _round_fold_final_jit(curve, nn, fold_pad)
+                      ) if fuse else (
+            lambda nn: functools.partial(_round_fold_final_core, curve,
+                                         fold_pad))
         d_L, d_R = rng.round_blinds()
-        d_L_m = jnp.asarray(fn.encode(d_L))
-        d_R_m = jnp.asarray(fn.encode(d_R))
+        d_L_m, d_R_m = enc(d_L), enc(d_R)
         L, R, y_nhat, y_nhat_inv = lr(n)(
             a, b, power_of_y, G, H, pk.g, pk.h, d_L_m, d_R_m
         )
         L_list.append(L)
         R_list.append(R)
-
-        e = transcript.round_challenge(curve, L, R) % fn.p
-        e_m = jnp.asarray(fn.encode(e))
-        a, b, power_of_y, G, H, alpha = fold(n)(
-            a, b, power_of_y, G, H, alpha,
+        e_m = enc(transcript.round_challenge(curve, L, R) % fn.p)
+        while n > 2:
+            d_L2, d_R2 = rng.round_blinds()
+            d_L2_m, d_R2_m = enc(d_L2), enc(d_R2)
+            (L, R, a, b, power_of_y, G, H, alpha,
+             y_nhat, y_nhat_inv) = fold_lr(n)(
+                a, b, power_of_y, G, H, pk.g, pk.h, alpha,
+                d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv, d_L2_m, d_R2_m,
+            )
+            L_list.append(L)
+            R_list.append(R)
+            e_m = enc(transcript.round_challenge(curve, L, R) % fn.p)
+            d_L_m, d_R_m = d_L2_m, d_R2_m
+            n //= 2
+        r, s, delta, eta = rng.final_blinds()
+        r_m, s_m = enc(r), enc(s)
+        delta_m, eta_m = enc(delta), enc(eta)
+        A, B, a, b, alpha = fold_final(n)(
+            a, b, power_of_y, G, H, pk.g, pk.h, alpha,
             d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv,
+            r_m, s_m, delta_m, eta_m,
         )
-        n //= 2
+    else:
+        while n != 1:
+            d_L, d_R = rng.round_blinds()
+            d_L_m = jnp.asarray(fn.encode(d_L))
+            d_R_m = jnp.asarray(fn.encode(d_R))
+            L, R, y_nhat, y_nhat_inv = lr(n)(
+                a, b, power_of_y, G, H, pk.g, pk.h, d_L_m, d_R_m
+            )
+            L_list.append(L)
+            R_list.append(R)
 
-    r, s, delta, eta = rng.final_blinds()
-    r_m = jnp.asarray(fn.encode(r))
-    s_m = jnp.asarray(fn.encode(s))
-    delta_m = jnp.asarray(fn.encode(delta))
-    eta_m = jnp.asarray(fn.encode(eta))
+            e = transcript.round_challenge(curve, L, R) % fn.p
+            e_m = jnp.asarray(fn.encode(e))
+            a, b, power_of_y, G, H, alpha = fold(n)(
+                a, b, power_of_y, G, H, alpha,
+                d_L_m, d_R_m, e_m, y_nhat, y_nhat_inv,
+            )
+            n //= 2
 
-    final_ab = _final_ab_jit(curve) if fuse else functools.partial(
-        _final_ab_core, curve)
-    A, B = final_ab(
-        a, b, power_of_y[0], G[0], H[0], pk.g, pk.h,
-        r_m, s_m, delta_m, eta_m,
-    )
+        r, s, delta, eta = rng.final_blinds()
+        r_m = jnp.asarray(fn.encode(r))
+        s_m = jnp.asarray(fn.encode(s))
+        delta_m = jnp.asarray(fn.encode(delta))
+        eta_m = jnp.asarray(fn.encode(eta))
+
+        final_ab = _final_ab_jit(curve) if fuse else functools.partial(
+            _final_ab_core, curve)
+        A, B = final_ab(
+            a, b, power_of_y[0], G[0], H[0], pk.g, pk.h,
+            r_m, s_m, delta_m, eta_m,
+        )
 
     e = transcript.final_challenge(curve, A, B) % fn.p
     e_m = jnp.asarray(fn.encode(e))
