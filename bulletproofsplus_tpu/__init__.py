@@ -35,6 +35,7 @@ from .protocol import (
 from .transcript import (
     DeterministicRng,
     DeterministicTranscript,
+    Fs256Transcript,
     ShaTranscript,
     SystemRng,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "RangeProof",
     "RangeProofSystem",
     "RangeProver",
+    "Fs256Transcript",
     "ShaTranscript",
     "SystemRng",
     "VerificationError",

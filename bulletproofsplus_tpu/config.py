@@ -34,11 +34,12 @@ from .protocol.range import RangeProver
 from .transcript import (
     DeterministicRng,
     DeterministicTranscript,
+    Fs256Transcript,
     ShaTranscript,
     SystemRng,
 )
 
-_MODES = ("deterministic", "sha", "merlin")
+_MODES = ("deterministic", "sha", "fs256", "merlin")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +107,8 @@ class RangeProofSystem:
             from .merlin import MerlinBppTranscript
 
             return MerlinBppTranscript(c.m)
+        if c.mode == "fs256":
+            return Fs256Transcript(c.m)
         return ShaTranscript(c.m)
 
     def _rng(self):

@@ -318,6 +318,43 @@ def batch_prove(
             r_prime=r_p, s_prime=s_p, d_prime=d_p,
         )
 
+    if (all(getattr(t, "device_graph", False) for t in transcripts)
+            and logn > 0
+            and all(getattr(t, "_counter", None) == 2 for t in transcripts)):
+        # fs256: in-graph transcripts — the whole sound BATCH fold loop is
+        # one vmapped dispatch (protocol/fs256.py)
+        from .fs256 import wip_prove_fs256_vmap_jit
+
+        dLs = np.empty((K, logn), dtype=object)
+        dRs = np.empty((K, logn), dtype=object)
+        finals = []
+        for i, r in enumerate(rngs):
+            for j in range(logn):
+                dLs[i, j], dRs[i, j] = r.round_blinds()
+            finals.append(r.final_blinds())
+        rsde = np.array(finals, dtype=object)
+
+        enc2 = lambda arr: jnp.asarray(  # noqa: E731
+            fn.encode([int(x) for x in arr.reshape(-1)])
+        ).reshape(*arr.shape, fn.L)
+        states = jnp.asarray(np.stack([t.state_words() for t in transcripts]))
+        L_vec, R_vec, A, B, r_p, s_p, d_p, states_out = (
+            wip_prove_fs256_vmap_jit(curve, mn)
+        )(
+            a_vec, b_vec, power_of_y, alpha_hat,
+            pk.G_vec, pk.H_vec, pk.g, pk.h, states,
+            enc2(dLs), enc2(dRs),
+            enc2(rsde[:, 0]), enc2(rsde[:, 1]),
+            enc2(rsde[:, 2]), enc2(rsde[:, 3]),
+        )
+        states_np = np.asarray(states_out)
+        for i, t in enumerate(transcripts):
+            t.set_state_words(states_np[i], logn + 1)
+        return ProofBatch(
+            A=A_all, L_vec=L_vec, R_vec=R_vec, A_wip=A, B=B,
+            r_prime=r_p, s_prime=s_p, d_prime=d_p,
+        )
+
     # interactive path: K transcripts advance in lockstep; by default each
     # round is ONE fused vmapped program (previous round's fold + this
     # round's L/R — log2(mn)+1 dispatches total); BPP_FUSE_ROUNDS=0

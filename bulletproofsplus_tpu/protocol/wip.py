@@ -744,6 +744,30 @@ def wip_prove(curve, pk, a, b, power_of_y, alpha, transcript, rng) -> WipProof:
             r_prime=r_prime, s_prime=s_prime, d_prime=d_prime,
         )
 
+    if (getattr(transcript, "device_graph", False) and logn > 0 and fuse
+            and getattr(transcript, "_counter", None) == 2):
+        # fs256: the transcript hashes INSIDE the compiled program — the
+        # whole sound fold loop is ONE dispatch (protocol/fs256.py)
+        from .fs256 import wip_prove_fs256_jit
+
+        dLs, dRs = zip(*[rng.round_blinds() for _ in range(logn)])
+        r, s, delta, eta = rng.final_blinds()
+        state = jnp.asarray(transcript.state_words())
+        L_vec, R_vec, A, B, r_p, s_p, d_p, state_out = wip_prove_fs256_jit(
+            curve, n
+        )(
+            a, b, power_of_y, alpha, pk.G_vec, pk.H_vec, pk.g, pk.h, state,
+            jnp.asarray(fn.encode(list(dLs))),
+            jnp.asarray(fn.encode(list(dRs))),
+            jnp.asarray(fn.encode(r)), jnp.asarray(fn.encode(s)),
+            jnp.asarray(fn.encode(delta)), jnp.asarray(fn.encode(eta)),
+        )
+        transcript.set_state_words(np.asarray(state_out), logn + 1)
+        return WipProof(
+            L_vec=L_vec, R_vec=R_vec, A=A, B=B,
+            r_prime=r_p, s_prime=s_p, d_prime=d_p,
+        )
+
     G = pk.G_vec
     H = pk.H_vec
     L_list: List[jnp.ndarray] = []

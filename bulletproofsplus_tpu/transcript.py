@@ -126,6 +126,99 @@ class ShaTranscript:
         return self._challenge(curve, b"e_final")
 
 
+FS256_LABEL = b"bulletproofsplus-tpu fs256 v1   "  # 32 bytes, word-aligned
+
+
+class Fs256Transcript:
+    """SHA-256 Fiat-Shamir transcript with a DEVICE-EVALUABLE byte protocol.
+
+    Every absorbed message has static, word-aligned length, so the same
+    protocol runs as jnp uint32 ops inside the prover's compiled program
+    (hashers_device.py + protocol/fs256.py): the fold-loop challenges are
+    derived in-graph and the sound prover needs no per-round host trip.
+    This class is the host twin — byte-for-byte identical — used by the
+    verifier's challenge replay and as the differential reference.
+
+    Chain: state_0 = SHA256(label32 || be32(m));
+    absorb k points: state = SHA256(state || tag4 || x_1 || y_1 || ...)
+      with coordinates as cbytes big-endian integers (affine; any identity
+      encodes as its natural affine for edwards (0,1), and as (0,0) for
+      projective weierstrass — exactly what X·(Z⁻¹ via Fermat, 0⁻¹=0)
+      evaluates to on device);
+    challenge: state = SHA256(state || b"chal" || tag4 || be32(counter));
+      c = int(SHA256(state || be32(1)) || SHA256(state || be32(2))) mod
+      order (512-bit reduction — negligible bias), 0 mapped to 1.
+    """
+
+    challenges_known_ahead = False
+    device_graph = True
+
+    def __init__(self, m: int, label: bytes = FS256_LABEL):
+        assert len(label) == 32
+        self._state = hashlib.sha256(label + m.to_bytes(4, "big")).digest()
+        self._counter = 0
+
+    # -- byte protocol (host side) ---------------------------------------
+    def _coord_bytes(self, curve, P):
+        cbytes = (curve.fp.p.bit_length() + 7) // 8
+        aff = P if (P is None or isinstance(P, tuple)) else (
+            curve.decode_point(P))
+        if aff is None:
+            # the family's natural device affine: extended edwards identity
+            # (0:1:1:0) → (0, 1); projective weierstrass (0:1:0) → Z⁻¹=0
+            # under Fermat → (0, 0)
+            aff = (0, 1) if getattr(curve, "COORDS", 3) == 4 else (0, 0)
+        return (aff[0].to_bytes(cbytes, "big")
+                + aff[1].to_bytes(cbytes, "big"))
+
+    def _absorb_points(self, curve, tag4: bytes, points) -> None:
+        assert len(tag4) == 4
+        msg = self._state + tag4 + b"".join(
+            self._coord_bytes(curve, P) for P in points)
+        self._state = hashlib.sha256(msg).digest()
+
+    def _challenge(self, curve, tag4: bytes) -> int:
+        self._counter += 1
+        self._state = hashlib.sha256(
+            self._state + b"chal" + tag4
+            + self._counter.to_bytes(4, "big")).digest()
+        d = (hashlib.sha256(self._state + (1).to_bytes(4, "big")).digest()
+             + hashlib.sha256(self._state + (2).to_bytes(4, "big")).digest())
+        c = int.from_bytes(d, "big") % curve.fn.p
+        return c if c != 0 else 1
+
+    # -- transcript API ---------------------------------------------------
+    def challenge_yz(self, curve, commitments, A) -> tuple:
+        self._absorb_points(curve, b"stmt", list(commitments) + [A])
+        return self._challenge(curve, b"y   "), self._challenge(curve,
+                                                                b"z   ")
+
+    def round_challenge(self, curve, L, R) -> int:
+        self._absorb_points(curve, b"LR  ", [L, R])
+        return self._challenge(curve, b"e   ")
+
+    def final_challenge(self, curve, A, B) -> int:
+        self._absorb_points(curve, b"AB  ", [A, B])
+        return self._challenge(curve, b"ef  ")
+
+    # -- device handoff ---------------------------------------------------
+    def state_words(self):
+        """Current 32-byte state as (8,) uint32 — the input to the device
+        transcript continuation (protocol/fs256.py)."""
+        import numpy as np
+
+        return np.frombuffer(self._state, dtype=">u4").astype(np.uint32)
+
+    def set_state_words(self, words, n_challenges: int) -> None:
+        """Adopt the device program's final state (and account for the
+        challenges it drew) so the host transcript can keep going."""
+        import numpy as np
+
+        self._state = b"".join(
+            int(x).to_bytes(4, "big") for x in np.asarray(words))
+        self._counter += n_challenges
+
+
 class SystemRng:
     """Cryptographically random blindings over the curve's scalar field."""
 
