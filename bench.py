@@ -57,6 +57,16 @@ BATCH = int(os.environ.get("BPP_BENCH_BATCH", "128"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "golden_baseline.json")
 
+_T0 = time.time()
+
+
+def _phase(msg: str) -> None:
+    """Progress marker on stderr (the stdout JSON contract is untouched):
+    cold-cache runs spend minutes in XLA/Mosaic compiles per phase, and a
+    silent tail is indistinguishable from a hang (the round-3 driver run)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 
 def make_transcript(curve, m):
     from bulletproofsplus_tpu import (
@@ -155,6 +165,7 @@ def main():
     pk = PublicKey.new(curve, n * m)
     pk.g.block_until_ready()
     setup_s = time.time() - t0
+    _phase(f"pk setup done ({setup_s:.1f}s)")
 
     prover = RangeProver()
     for i in range(m):
@@ -168,6 +179,7 @@ def main():
                      transcript=make_transcript(curve, m),
                      rng=make_rng(curve, m))
 
+    _phase("single prove: compiling/warmup")
     proof = prove_one()  # warmup (persistent compile cache)
     np.asarray(proof.proof.r_prime)
     ptimes = []
@@ -183,6 +195,7 @@ def main():
         verify(curve, proof, pk, n, prover.commitment_vec,
                transcript=make_transcript(curve, m))
 
+    _phase(f"single prove done ({prove_s:.3f}s/rep); single verify: compiling/warmup")
     verify_one()  # warmup (compiles cached across runs via persistent cache)
     times = []
     for _ in range(REPS):
@@ -200,6 +213,7 @@ def main():
         # K distinct statements proven in ONE vmapped pipeline; commitments
         # held pre-stacked (the batch serving shape — statements arrive as
         # one tensor, not K·m separate arrays)
+        _phase(f"single verify done ({single_verify_s:.3f}s/rep); batch K={BATCH}")
         provers = []
         for k in range(BATCH):
             p = RangeProver()
@@ -224,6 +238,7 @@ def main():
             pbatch = batch_prove(curve, pk, n, provers,
                                  transcripts=tr_list(), rngs=rng_list())
             np.asarray(pbatch.r_prime)  # warmup
+            _phase("batch prove warm")
             bptimes = []
             for _ in range(REPS):
                 t0 = time.time()
@@ -243,6 +258,7 @@ def main():
                 raise RuntimeError("batch_prove failed; skipping")
             batch_verify(curve, pk, n, pbatch, commits,
                          transcripts=tr_list())  # warmup
+            _phase("batch verify warm")
             btimes = []
             for _ in range(REPS):
                 t0 = time.time()
@@ -261,6 +277,7 @@ def main():
         prove_s_per_proof = prove_s
         sol = batch_verify_sol(curve, n, m, 1, single_verify_s)
 
+    _phase("measuring done; golden baseline")
     base_s = golden_verify_s()
     value = 1.0 / verify_s_per_proof
     print(json.dumps({

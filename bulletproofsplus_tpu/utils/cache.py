@@ -52,11 +52,17 @@ def setup_compilation_cache(path: str | None = None) -> None:
     for tok in os.environ.get("XLA_FLAGS", "").split():
         if tok.startswith("--xla_cpu_max_isa="):
             isa = tok.split("=", 1)[1].lower()
-    # An unset platform (the common library-import case) with an ISA pin in
-    # XLA_FLAGS means a CPU run: classify it as such so pinned and unpinned
-    # CPU processes never share a partition (the deserialize-segfault
-    # scenario the partition exists to prevent).
-    backend = "cpu" if ("cpu" in plats or (not plats and isa)) else "accel"
+    # Only the PRIMARY (first) platform decides the partition: accelerator
+    # registration appends cpu as a fallback entry ("axon,cpu" on this
+    # machine), and substring-matching "cpu" there routed every TPU process
+    # into the CPU partition — splitting the TPU cache from the root dir
+    # other TPU processes read. An unset platform (the common
+    # library-import case) with an ISA pin in XLA_FLAGS means a CPU run:
+    # classify it as such so pinned and unpinned CPU processes never share
+    # a partition (the deserialize-segfault scenario the partition exists
+    # to prevent).
+    primary = plats.split(",")[0].strip().lower() if plats else ""
+    backend = "cpu" if (primary == "cpu" or (not primary and isa)) else "accel"
     if backend == "cpu":
         path = os.path.join(path, f"cpu-{isa or 'native'}")
     os.makedirs(path, exist_ok=True)
