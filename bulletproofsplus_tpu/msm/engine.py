@@ -186,6 +186,7 @@ def tree_sum(curve, points):
     for d in points.shape[:-3]:
         total *= d
     if (_ladder_ok(curve) and n > 1 and total >= 2048
+            and os.environ.get("BPP_SUM_KERNEL", "1") == "1"
             and BatchTracer is not None
             and not isinstance(points, BatchTracer)):
         from ..curves.pallas_curve import sum_points_grouped

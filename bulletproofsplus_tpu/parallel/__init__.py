@@ -7,8 +7,10 @@ from .mesh import (
     warmup_collectives,
 )
 from .sharded_msm import sharded_fixed_msm, sharded_msm, sharded_msm_rows
+from .sharded_prover import sharded_prove
 
 __all__ = [
+    "sharded_prove",
     "default_mesh",
     "global_mesh",
     "distributed_barrier",

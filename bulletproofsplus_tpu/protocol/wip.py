@@ -970,7 +970,32 @@ def _wip_prove_known_kbatched_prog(curve, n: int, K: int):
                 jnp.concatenate([G2, H1, gk[:, None], hk[:, None]], axis=1),
                 jnp.concatenate([G1, H2, gk[:, None], hk[:, None]], axis=1),
             ], axis=1)                                     # (K, 2, W, C, L)
-            LR = _joint_rows_msm(curve, fn.from_mont(S), P, nbits)
+            import os as _os
+
+            if _os.environ.get("BPP_KBATCHED_LR") == "xla":
+                # bisect aid: the plain padded scan ladder + tree for L/R
+                # (natively batched over K·2 rows) instead of the joint
+                # Pallas kernel — isolates the kernel-in-graph suspicion
+                from ..msm.engine import (
+                    _next_pow2,
+                    _scalar_mul_jit,
+                    _tree_sum_jit,
+                )
+
+                W = S.shape[2]
+                Wp = _next_pow2(W)
+                if Wp != W:
+                    S = jnp.concatenate(
+                        [S, jnp.zeros((K, 2, Wp - W, fn.L), jnp.int32)],
+                        axis=2)
+                    P = jnp.concatenate(
+                        [P, jnp.broadcast_to(
+                            jnp.asarray(curve.identity_np),
+                            (K, 2, Wp - W, *P.shape[-2:]))], axis=2)
+                LR = _tree_sum_jit(curve)(
+                    _scalar_mul_jit(curve, nbits)(fn.from_mont(S), P))
+            else:
+                LR = _joint_rows_msm(curve, fn.from_mont(S), P, nbits)
             Ls.append(LR[:, 0])
             Rs.append(LR[:, 1])
 

@@ -40,6 +40,10 @@ def _mk_transcript(curve, m):
         from bulletproofsplus_tpu.merlin import MerlinBppTranscript
 
         return MerlinBppTranscript(m)
+    if MODE == "fs256":
+        from bulletproofsplus_tpu import Fs256Transcript
+
+        return Fs256Transcript(m)
     return ShaTranscript(m)
 
 
