@@ -49,6 +49,11 @@ N_BITS = int(os.environ.get("BPP_BENCH_N", "64"))
 M_AGG = int(os.environ.get("BPP_BENCH_M", "16"))
 REPS = int(os.environ.get("BPP_BENCH_REPS", "3"))
 MODE = os.environ.get("BPP_BENCH_MODE", "deterministic")
+# every transcript mode measured per run (round-4 verdict: the fs256 "sound
+# mode in one dispatch" work produced zero committed numbers because the
+# driver only runs `python bench.py` in the default mode). Set
+# BPP_BENCH_MODES=deterministic to restrict (e.g. bench_matrix sweeps).
+MODES = os.environ.get("BPP_BENCH_MODES", "deterministic,sha,fs256").split(",")
 # Batched verification (the TPU-idiomatic serving shape): fold BATCH proofs
 # into one random-linear-combination mega-MSM (protocol/batch.py) — shared
 # pk generators merge, so marginal cost per proof is ~39 MSM lanes instead
@@ -68,29 +73,30 @@ def _phase(msg: str) -> None:
           flush=True)
 
 
-def make_transcript(curve, m):
+def make_transcript(curve, m, mode=None):
     from bulletproofsplus_tpu import (
         DeterministicTranscript,
         ShaTranscript,
     )
 
-    if MODE == "deterministic":
+    mode = mode or MODE
+    if mode == "deterministic":
         return DeterministicTranscript(m)
-    if MODE == "merlin":
+    if mode == "merlin":
         from bulletproofsplus_tpu.merlin import MerlinBppTranscript
 
         return MerlinBppTranscript(m)
-    if MODE == "fs256":
+    if mode == "fs256":
         from bulletproofsplus_tpu import Fs256Transcript
 
         return Fs256Transcript(m)
     return ShaTranscript(m)
 
 
-def make_rng(curve, m):
+def make_rng(curve, m, mode=None):
     from bulletproofsplus_tpu import DeterministicRng, SystemRng
 
-    if MODE == "deterministic":
+    if (mode or MODE) == "deterministic":
         return DeterministicRng(m)
     return SystemRng(curve.fn.p)
 
@@ -205,6 +211,29 @@ def main():
     single_verify_s = min(times)
 
     errors = []
+    modes_out = {}
+    # fs256 single verify: the sound one-dispatch path (in-graph replay)
+    if "fs256" in MODES and MODE != "fs256":
+        try:
+            _phase("fs256 single verify: compiling/warmup")
+
+            def fs_verify_one(pf):
+                verify(curve, pf, pk, n, prover.commitment_vec,
+                       transcript=make_transcript(curve, m, "fs256"))
+
+            fs_proof = prove(curve, pk, n, prover,
+                             transcript=make_transcript(curve, m, "fs256"),
+                             rng=make_rng(curve, m, "fs256"))
+            fs_verify_one(fs_proof)
+            times = []
+            for _ in range(REPS):
+                t0 = time.time()
+                fs_verify_one(fs_proof)
+                times.append(time.time() - t0)
+            modes_out["fs256_single_verify_s"] = round(min(times), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"fs256_single: {type(exc).__name__}: {exc}")
+
     if BATCH > 1:
         import jax.numpy as jnp
 
@@ -224,54 +253,68 @@ def main():
             [jnp.stack(p.commitment_vec) for p in provers]
         )
 
-        def tr_list():
-            return [make_transcript(curve, m) for _ in range(BATCH)]
+        prove_s_per_proof = prove_s
+        verify_s_per_proof = single_verify_s
+        sol = batch_verify_sol(curve, n, m, 1, single_verify_s)
 
-        def rng_list():
-            return [make_rng(curve, m) for _ in range(BATCH)]
+        # Phase containment: a failure in one mode's batch pipeline must not
+        # lose the whole benchmark (the round-3 driver run died with rc=1
+        # and recorded nothing) — fall back per mode and carry the error in
+        # the JSON for the record.
+        for bmode in MODES:
+            def tr_list(bmode=bmode):
+                return [make_transcript(curve, m, bmode)
+                        for _ in range(BATCH)]
 
-        # Phase containment: a failure in the batch pipeline must not lose
-        # the whole benchmark (the round-3 driver run died with rc=1 and
-        # recorded nothing) — fall back to the measured single-proof
-        # numbers and carry the error in the JSON for the record.
-        try:
-            pbatch = batch_prove(curve, pk, n, provers,
-                                 transcripts=tr_list(), rngs=rng_list())
-            np.asarray(pbatch.r_prime)  # warmup
-            _phase("batch prove warm")
-            bptimes = []
-            for _ in range(REPS):
-                t0 = time.time()
+            def rng_list(bmode=bmode):
+                return [make_rng(curve, m, bmode) for _ in range(BATCH)]
+
+            row = {}
+            try:
                 pbatch = batch_prove(curve, pk, n, provers,
                                      transcripts=tr_list(), rngs=rng_list())
-                np.asarray(pbatch.r_prime)
-                np.asarray(pbatch.L_vec)
-                bptimes.append(time.time() - t0)
-            prove_s_per_proof = min(bptimes) / BATCH
-        except Exception as exc:  # noqa: BLE001
-            errors.append(f"batch_prove: {type(exc).__name__}: {exc}")
-            prove_s_per_proof = prove_s
-            pbatch = None
+                np.asarray(pbatch.r_prime)  # warmup
+                _phase(f"batch prove warm ({bmode})")
+                bptimes = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    pbatch = batch_prove(curve, pk, n, provers,
+                                         transcripts=tr_list(),
+                                         rngs=rng_list())
+                    np.asarray(pbatch.r_prime)
+                    np.asarray(pbatch.L_vec)
+                    bptimes.append(time.time() - t0)
+                row["batch_prove_s_per_proof"] = round(
+                    min(bptimes) / BATCH, 4)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(
+                    f"batch_prove[{bmode}]: {type(exc).__name__}: {exc}")
+                pbatch = None
 
-        try:
-            if pbatch is None:
-                raise RuntimeError("batch_prove failed; skipping")
-            batch_verify(curve, pk, n, pbatch, commits,
-                         transcripts=tr_list())  # warmup
-            _phase("batch verify warm")
-            btimes = []
-            for _ in range(REPS):
-                t0 = time.time()
+            try:
+                if pbatch is None:
+                    raise RuntimeError("batch_prove failed; skipping")
                 batch_verify(curve, pk, n, pbatch, commits,
-                             transcripts=tr_list())
-                btimes.append(time.time() - t0)
-            batch_verify_s = min(btimes)
-            verify_s_per_proof = batch_verify_s / BATCH
-            sol = batch_verify_sol(curve, n, m, BATCH, batch_verify_s)
-        except Exception as exc:  # noqa: BLE001
-            errors.append(f"batch_verify: {type(exc).__name__}: {exc}")
-            verify_s_per_proof = single_verify_s
-            sol = batch_verify_sol(curve, n, m, 1, single_verify_s)
+                             transcripts=tr_list())  # warmup
+                _phase(f"batch verify warm ({bmode})")
+                btimes = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    batch_verify(curve, pk, n, pbatch, commits,
+                                 transcripts=tr_list())
+                    btimes.append(time.time() - t0)
+                row["batch_verify_s"] = round(min(btimes), 4)
+                row["verify_per_s"] = round(BATCH / min(btimes), 1)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(
+                    f"batch_verify[{bmode}]: {type(exc).__name__}: {exc}")
+            modes_out[bmode] = row
+            if bmode == MODE and "batch_verify_s" in row:
+                batch_verify_s = row["batch_verify_s"]
+                verify_s_per_proof = batch_verify_s / BATCH
+                sol = batch_verify_sol(curve, n, m, BATCH, batch_verify_s)
+                prove_s_per_proof = row.get(
+                    "batch_prove_s_per_proof", prove_s)
     else:
         verify_s_per_proof = single_verify_s
         prove_s_per_proof = prove_s
@@ -298,6 +341,7 @@ def main():
             "sol_pct": sol["sol_pct"],
             "sol_point_ops": sol["point_ops"],
             "backend": __import__("jax").default_backend(),
+            "modes": modes_out,
             **({"errors": errors} if errors else {}),
         },
     }))

@@ -7,7 +7,7 @@ one frozen dataclass — curve, bitsize, aggregation, batch, transcript/rng
 mode, mesh shape — and `RangeProofSystem` binds them to a ready-to-use
 prover/verifier (generators built once, transcripts/rngs minted per proof).
 
-    cfg = Config(curve="edwards25519", n=64, m=16, mode="sha")
+    cfg = Config(curve="edwards25519", n=64, m=16, mode="fs256")
     sys = RangeProofSystem(cfg)
     st = sys.statement([2, 5, ...], gammas=None)   # commit (random blinds)
     proof = sys.prove(st)
@@ -49,7 +49,9 @@ class Config:
     curve: one of CURVE_NAMES. n: range bitsize (2^n bound). m: aggregation
     width (power of two). mode: Fiat-Shamir instantiation — "deterministic"
     replays the reference's constants with fixed blinds (differential
-    testing ONLY — insecure), "sha"/"merlin" are sound with random blinds.
+    testing ONLY — insecure); "fs256" (the library default — device-
+    evaluable word-aligned SHA-256 chain, one-dispatch sound prove AND
+    verify), "sha" and "merlin" are sound with random blinds.
     hash_generators: derive pk generators by hash-to-curve (sound) instead
     of the reference's small-multiple scheme (publickey.rs:23-39).
     mesh_devices: shard verification MSMs over this many devices (None =
@@ -58,7 +60,7 @@ class Config:
     curve: str = "edwards25519"
     n: int = 64
     m: int = 1
-    mode: str = "sha"
+    mode: str = "fs256"
     hash_generators: bool = True
     mesh_devices: Optional[int] = None
 

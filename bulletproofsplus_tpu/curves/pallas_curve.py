@@ -266,13 +266,19 @@ def _ladder_call(curve, nbits: int, interpret=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _fixed_lookup_call(curve, interpret=False):
+def _fixed_lookup_call(curve, signed: bool = False, interpret=False):
     """Fixed-base MSM kernel: per grid step, select each lane's table entry
-    (4-level tree over the 16 precomputed multiples, VMEM-resident) and add
+    (select tree over the VMEM-resident precomputed multiples) and add
     it into a (CC, BLOCK) accumulator that revisits the same output block
     every step (TPU grids are sequential). HBM traffic is exactly one pass
     over the table; the XLA select-tree path re-materializes every tree
     level (~3x the table) plus the nwin·N selected points.
+
+    Unsigned tables hold 2^c entries (digit = direct index). Signed tables
+    hold 2^(c-1) entries k ∈ [1, 2^(c-1)] — half the table and half the
+    HBM stream — with balanced-recoded digits packed as mag | (neg << 8):
+    the sign negates the selected point (one coordinate f.neg per family)
+    and magnitude 0 selects the identity, both branchless.
 
     Lanes are (window, point) pairs; the caller tree-sums the BLOCK partial
     points. Final step canonicalizes (exact < p) for XLA-path parity."""
@@ -283,7 +289,8 @@ def _fixed_lookup_call(curve, interpret=False):
     NC, add, _dbl, const_np, ident_fn = _family(curve)
     CC = NC * L
     CCP = -(-CC // 8) * 8
-    nent = 1 << WINDOW
+    nent = 1 << (WINDOW - 1 if signed else WINDOW)
+    idx_bits = WINDOW - 1 if signed else WINDOW
 
     def kernel(p_ref, np_ref, one_ref, cst_ref, tbl_ref, dig_ref, o_ref):
         from ..fields.pallas_ops import LazyVal
@@ -297,16 +304,36 @@ def _fixed_lookup_call(curve, interpret=False):
 
         i = pl.program_id(0)
         dig = dig_ref[...]  # (1, BLOCK)
+        if signed:
+            sign = (dig >> 8) & 1
+            mag = dig & 0xFF
+            idx = jnp.maximum(mag, 1) - 1   # entry k-1 holds k·Q
+        else:
+            idx = dig
         half = nent // 2
         lo = tbl_ref[0 : half * CCP, :]
         hi = tbl_ref[half * CCP : nent * CCP, :]
-        sel = jnp.where(((dig >> (WINDOW - 1)) & 1) != 0, hi, lo)
-        for level in range(WINDOW - 2, -1, -1):
+        sel = jnp.where(((idx >> (idx_bits - 1)) & 1) != 0, hi, lo)
+        for level in range(idx_bits - 2, -1, -1):
             half //= 2
-            bit = (dig >> level) & 1
+            bit = (idx >> level) & 1
             sel = jnp.where(bit != 0, sel[half * CCP :, :],
                             sel[: half * CCP, :])
         chosen = tuple(f.wrap(c, 1) for c in _unpack(sel[:CC], L, NC))
+        if signed:
+            if NC == 4:   # extended edwards: -(X, Y, Z, T) = (-X, Y, Z, -T)
+                negged = (f.neg(chosen[0]), chosen[1], chosen[2],
+                          f.neg(chosen[3]))
+            else:         # projective weierstrass: -(X, Y, Z) = (X, -Y, Z)
+                negged = (chosen[0], f.neg(chosen[1]), chosen[2])
+            chosen = tuple(
+                LazyVal(jnp.where(sign != 0, nc.t, ch.t), 1, 0, f.MASK)
+                for nc, ch in zip(negged, chosen))
+            # magnitude 0 (digit 0 and lane padding) selects the identity
+            chosen = tuple(
+                LazyVal(jnp.where(mag == 0, jnp.broadcast_to(ic.t, ch.t.shape),
+                                  ch.t), 1, 0, f.MASK)
+                for ic, ch in zip(ident, chosen))
 
         # accumulator: identity on the first step (o_ref holds garbage),
         # else the loose stored partial from the previous step
@@ -378,24 +405,30 @@ def fixed_table_kernel_layout(curve, table):
 
 
 def fixed_msm_kernel(curve, scalars, tbl2, nbits: int,
-                     interpret: bool = False):
+                     signed: bool = False, interpret: bool = False):
     """Fixed-base MSM via the lookup-accumulate kernel. scalars: plain-form
     (N, Ls) for the table's N base points; tbl2 from
-    fixed_table_kernel_layout. Returns the (C, L) sum."""
+    fixed_table_kernel_layout (unsigned 2^c or signed 2^(c-1) entries).
+    Returns the (C, L) sum."""
     from ..msm.engine import tree_sum
 
     fn, fp = curve.fn, curve.fp
     NC = getattr(curve, "COORDS", 3)
     L = fp.L
-    nwin = -(-nbits // WINDOW)
     N = scalars.shape[0]
     lanes = tbl2.shape[1]
-    digits = fn.scalar_digits(scalars, nwin * WINDOW, WINDOW)  # (N, nwin)
+    if signed:
+        nwin = fn.signed_window_count(nbits, WINDOW)
+        mag, neg = fn.scalar_digits_signed(scalars, nbits, WINDOW)
+        digits = mag | (neg.astype(mag.dtype) << 8)        # (N, nwin)
+    else:
+        nwin = -(-nbits // WINDOW)
+        digits = fn.scalar_digits(scalars, nwin * WINDOW, WINDOW)
     dig2 = digits.T.reshape(1, nwin * N)
     if lanes != nwin * N:
         dig2 = jnp.concatenate(
             [dig2, jnp.zeros((1, lanes - nwin * N), dig2.dtype)], axis=1)
-    out = _fixed_lookup_call(curve, interpret)(tbl2, dig2)  # (CC, BLOCK)
+    out = _fixed_lookup_call(curve, signed, interpret)(tbl2, dig2)
     pts = out.reshape(NC, L, BLOCK).transpose(2, 0, 1)      # (BLOCK, C, L)
     return tree_sum(curve, pts)
 

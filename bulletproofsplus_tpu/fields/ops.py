@@ -414,6 +414,56 @@ class FieldOps:
         sh = (pos % self.W).astype(self.p_arr.dtype)
         return (s[..., idx] >> sh) & ((1 << c) - 1)
 
+    def signed_window_count(self, nbits: int | None = None, c: int = 4) -> int:
+        """Window count of the SIGNED c-bit digit decomposition: one more
+        than ceil(nbits/c) iff the top unsigned digit plus a carry can
+        exceed 2^(c-1) (e.g. 256-bit moduli at c=4; 253/255-bit fit)."""
+        nbits = nbits or self.L * self.W
+        nwin = -(-nbits // c)
+        top_max = ((1 << nbits) - 1) >> (c * (nwin - 1))
+        return nwin + (1 if top_max + 1 > (1 << (c - 1)) else 0)
+
+    def scalar_digits_signed(self, s, nbits: int | None = None, c: int = 4):
+        """Plain-form limb scalars (..., L) → SIGNED c-bit digits:
+        (magnitudes (..., nw1) in [0, 2^(c-1)], negative-sign bools),
+        LSB-first, with nw1 = signed_window_count(nbits, c).
+
+        Value-preserving balanced recoding d' ∈ [-(2^(c-1)-1), 2^(c-1)]:
+        d'_j = d_j + carry_in_j - 2^c·carry_out_j with carry_out_j =
+        (d_j + carry_in_j > 2^(c-1)). The carry chain is an addition-style
+        generate/propagate prefix, computed as a log-depth Kogge-Stone scan.
+        Halves fixed-base tables: entries k ∈ [1, 2^(c-1)] suffice (zero →
+        identity select, sign → point negation — both branchless)."""
+        nbits = nbits or self.L * self.W
+        nwin = -(-nbits // c)
+        nw1 = self.signed_window_count(nbits, c)
+        half = 1 << (c - 1)
+        d = self.scalar_digits(s, nwin * c, c)  # (..., nwin) in [0, 2^c)
+        if nw1 > nwin:
+            d = jnp.concatenate(
+                [d, jnp.zeros((*d.shape[:-1], 1), d.dtype)], axis=-1)
+        # carry_out = g | (p & carry_in): g = d > half, p = d == half
+        G = (d > half)
+        P = (d == half)
+        sh = 1
+        while sh < nw1:
+            def shift(x, fill):
+                return jnp.concatenate(
+                    [jnp.full_like(x[..., :sh], fill), x[..., :-sh]],
+                    axis=-1)
+
+            Gs, Ps = shift(G, False), shift(P, True)
+            G, P = G | (P & Gs), P & Ps
+            sh *= 2
+        # inclusive prefix G[j] = carry OUT of window j; carry IN = G[j-1]
+        c_in = jnp.concatenate(
+            [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1
+        ).astype(d.dtype)
+        t = d + c_in
+        neg = t > half
+        mag = jnp.where(neg, (1 << c) - t, t)
+        return mag, neg
+
     @property
     def order_bits(self) -> int:
         """Bit length of the modulus (max meaningful scalar width)."""

@@ -239,7 +239,8 @@ def msm(curve, scalars, points, nbits: int | None = None):
         # J-fold-shorter product axis.
         from ..curves.pallas_curve import joint_ladder_msm_grouped
 
-        J = 4 if lanes >= 2048 else 2
+        env_j = os.environ.get("BPP_MSM_J")
+        J = int(env_j) if env_j else (4 if lanes >= 2048 else 2)
         W2 = -(-W // J) * J
         if W2 != W:
             scalars = _pad_axis(scalars, scalars.ndim - 2, W2,

@@ -140,10 +140,12 @@ def sharded_msm_rows(curve, scalars, points, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_fixed_msm_jit(curve, nbits: int, mesh: Mesh, axis: str):
-    from ..msm.fixed import _fixed_msm_jit
+def _sharded_fixed_msm_jit(curve, nbits: int, mesh: Mesh, axis: str,
+                           signed: bool = False):
+    from ..msm.fixed import _fixed_msm_jit, _fixed_msm_signed_jit
 
-    local = _fixed_msm_jit(curve, nbits)
+    local = (_fixed_msm_signed_jit(curve, nbits) if signed
+             else _fixed_msm_jit(curve, nbits))
 
     def per_device(scalars, table):
         # scalars: (N/ndev, Ls); table: (2^c, nwin, N/ndev, C, L)
@@ -179,12 +181,16 @@ def sharded_fixed_msm(curve, scalars, table, mesh: Mesh, axis: str = "tp",
     ndev = mesh.shape[axis]
     if table.shape[2] % ndev or scalars.shape[0] != table.shape[2]:
         raise ValueError("table point axis must divide the mesh axis")
+    from ..msm.fixed import WINDOW as _C
+
+    signed = table.shape[0] == (1 << (_C - 1))
     scalars = _to_global(scalars, mesh, P(axis, None))
     table = _to_global(table, mesh, P(None, None, axis, None, None))
     from .mesh import synced_call
 
     return synced_call(
-        _sharded_fixed_msm_jit(curve, nbits, mesh, axis), scalars, table)
+        _sharded_fixed_msm_jit(curve, nbits, mesh, axis, signed),
+        scalars, table)
 
 
 def sharded_msm(curve, scalars, points, mesh: Mesh, axis: str = "tp",

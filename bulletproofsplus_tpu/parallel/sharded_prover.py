@@ -333,6 +333,14 @@ def sharded_prove(curve, pk, n: int, prover, mesh: Mesh, transcript=None,
         raise ValueError(
             "sharded_prove needs an fs256 or known-challenge transcript "
             "(interactive host-hash transcripts serialize the mesh)")
+    if fs256 and getattr(transcript, "_counter", 0) != 0:
+        # mirror wip_prove's guard (wip.py known-path): the device program
+        # hashes absolute challenge counters 3..logn+3 assuming the state
+        # handed over is exactly post-(y, z) (counter == 2 after
+        # challenge_yz below). A reused/pre-advanced transcript would
+        # silently desynchronize host challenge numbering and emit an
+        # unverifiable proof.
+        raise ValueError("fs256 sharded_prove needs a FRESH transcript")
 
     logn = mn.bit_length() - 1
     alpha = rng.alpha()

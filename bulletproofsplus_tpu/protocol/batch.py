@@ -83,6 +83,61 @@ def _batch_verify_fused_jit(curve, n: int, m: int, K: int, fixed: bool):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _batch_verify_fused_fs256_jit(curve, n: int, m: int, K: int,
+                                  fixed: bool):
+    """_batch_verify_fused_jit with the Fiat-Shamir replay IN-GRAPH: every
+    proof's fs256 challenges derive from the proof tensors inside the one
+    compiled program (vmapped fs256_replay), so sound batch verification
+    costs no host point decode or hashing at all — the same dispatch shape
+    as deterministic mode."""
+    from ..msm.fixed import fixed_msm
+    from .fs256 import fs256_replay
+    from .range import _vinputs_multiple_jit, _vinputs_single_prog
+
+    base = (_vinputs_single_prog(curve, n) if m == 1
+            else _vinputs_multiple_jit(curve, n, m))
+    fn = curve.fn
+    nbits = fn.order_bits
+
+    def one(rp, sp, dp_, A, Aw, B, L, R, V):
+        y, z, es, e = fs256_replay(curve, m, V, A, L, R, Aw, B)
+        return base(y, z, es, e, rp, sp, dp_)
+
+    vf = jax.vmap(one)
+
+    def f(rp, sp, dp_, A, Aw, B, L, R, V, W, g, h, gen1, gen2):
+        uniq_s, G_exp, H_exp, g_exp, h_exp = vf(
+            rp, sp, dp_, A, Aw, B, L, R, V)
+        Wg = W[:, None, :]
+        G_exp = fn.sum(fn.mul(G_exp, Wg), axis=0)      # (mn, L)
+        H_exp = fn.sum(fn.mul(H_exp, Wg), axis=0)
+        g_exp = fn.sum(fn.mul(g_exp, W), axis=0)       # (L,)
+        h_exp = fn.sum(fn.mul(h_exp, W), axis=0)
+        if m == 1:
+            head = [B[:, None], Aw[:, None], A[:, None]]
+        else:
+            head = [A[:, None], Aw[:, None], B[:, None]]
+        uniq_p = jnp.concatenate(head + [L, R, V], axis=1)
+        uniq_s = fn.mul(uniq_s, Wg).reshape(-1, fn.L)
+        uniq_p = uniq_p.reshape(-1, *uniq_p.shape[-2:])
+        var_s = jnp.concatenate([uniq_s, g_exp[None], h_exp[None]], axis=0)
+        var_p = jnp.concatenate([uniq_p, g[None], h[None]], axis=0)
+        if fixed:
+            fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+            out = curve.add(
+                msm(curve, fn.from_mont(var_s), var_p),
+                fixed_msm(curve, fn.from_mont(fixed_s), gen1, nbits),
+            )
+        else:
+            var_s = jnp.concatenate([var_s, G_exp, H_exp], axis=0)
+            var_p = jnp.concatenate([var_p, gen1, gen2], axis=0)
+            out = msm(curve, fn.from_mont(var_s), var_p)
+        return curve.is_identity(out)
+
+    return jax.jit(f)
+
+
 def _batch_verify_fused(curve, pk, n: int, m: int, batch: ProofBatch,
                         V_all, transcripts, draw) -> None:
     """Homogeneous single-device batch verification through the fused
@@ -92,6 +147,25 @@ def _batch_verify_fused(curve, pk, n: int, m: int, batch: ProofBatch,
     fn = curve.fn
     K = len(batch)
     mn = n * m
+    if all(
+        tr is not None and getattr(tr, "device_graph", False)
+        and getattr(tr, "_counter", None) == 0
+        for tr in transcripts
+    ):
+        # fs256: in-graph replay — skip the host decode/hash entirely
+        W = jnp.asarray(fn.encode([draw() for _ in range(K)]))
+        head = (batch.r_prime, batch.s_prime, batch.d_prime,
+                batch.A, batch.A_wip, batch.B, batch.L_vec, batch.R_vec,
+                V_all, W, pk.g, pk.h)
+        if fixed_base_ok(curve, 2 * mn):
+            ok = _batch_verify_fused_fs256_jit(curve, n, m, K, True)(
+                *head, pk.fixed_tables(mn), pk.h[None])
+        else:
+            ok = _batch_verify_fused_fs256_jit(curve, n, m, K, False)(
+                *head, pk.G_vec[:mn], pk.H_vec[:mn])
+        if not bool(ok):
+            raise VerificationError("batch verification failed")
+        return
     ys, zs, ess, efs = replay_batch(curve, batch, V_all, n, m, transcripts)
     W = jnp.asarray(fn.encode([draw() for _ in range(K)]))  # (K, L)
     head = (

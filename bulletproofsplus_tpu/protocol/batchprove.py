@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..transcript import ShaTranscript, SystemRng
+from ..transcript import Fs256Transcript, SystemRng
 from .range import (
     ProofBatch,
     _bit_commitment_batch_prog,
@@ -159,7 +159,7 @@ def batch_prove(
     # secure by default (matching prove()): real Fiat-Shamir + random blinds;
     # the reference-constant mode is opt-in via explicit transcripts/rngs
     transcripts = (list(transcripts) if transcripts
-                   else [ShaTranscript(m) for _ in range(K)])
+                   else [Fs256Transcript(m) for _ in range(K)])
     rngs = list(rngs) if rngs else [SystemRng(curve.fn.p) for _ in range(K)]
 
     # CPU gate: the vmapped prover programs (a point-ladder MSM per fold
@@ -185,10 +185,16 @@ def batch_prove(
     # per-round programs have a much smaller working set than the whole-
     # fold program, and each chunk costs 2·log2(mn) host round-trips —
     # fewer, larger chunks amortize the ~29 ms dispatch floor.
-    interactive = not (
-        all(getattr(t, "challenges_known_ahead", False) for t in transcripts)
-        and all(getattr(r, "blinds_known_ahead", False) for r in rngs)
-        and os.environ.get("BPP_FUSE_PROVER") != "0")
+    # one-dispatch whole-fold programs (known-challenge replay, or fs256
+    # in-graph challenges — blinds are challenge-independent and drawn
+    # ahead for any rng) chunk small; only the host-hash interactive path
+    # amortizes its per-round round-trips with larger chunks.
+    whole_fold = os.environ.get("BPP_FUSE_PROVER") != "0" and (
+        (all(getattr(t, "challenges_known_ahead", False)
+             for t in transcripts)
+         and all(getattr(r, "blinds_known_ahead", False) for r in rngs))
+        or all(getattr(t, "device_graph", False) for t in transcripts))
+    interactive = not whole_fold
     if interactive:
         chunk = int(os.environ.get("BPP_BATCH_PROVE_CHUNK_INTERACTIVE", "64"))
     else:
@@ -338,9 +344,20 @@ def batch_prove(
             fn.encode([int(x) for x in arr.reshape(-1)])
         ).reshape(*arr.shape, fn.L)
         states = jnp.asarray(np.stack([t.state_words() for t in transcripts]))
-        L_vec, R_vec, A, B, r_p, s_p, d_p, states_out = (
-            wip_prove_fs256_vmap_jit(curve, mn)
-        )(
+        from ..msm.engine import _ladder_ok
+        from .wip import _prover_pallas, _prover_variant
+
+        if (_ladder_ok(curve) and _prover_variant() == "unrolled"
+                and _prover_pallas()
+                and os.environ.get("BPP_PROVER_KBATCHED", "0") == "1"):
+            # batched-NATIVE sound program: flat kernel grids instead of K
+            # vmap instances (same gate as the known-challenge path)
+            from .fs256 import wip_prove_fs256_kbatched_jit
+
+            fs_prog = wip_prove_fs256_kbatched_jit(curve, mn, K)
+        else:
+            fs_prog = wip_prove_fs256_vmap_jit(curve, mn)
+        L_vec, R_vec, A, B, r_p, s_p, d_p, states_out = fs_prog(
             a_vec, b_vec, power_of_y, alpha_hat,
             pk.G_vec, pk.H_vec, pk.g, pk.h, states,
             enc2(dLs), enc2(dRs),

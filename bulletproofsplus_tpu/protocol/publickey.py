@@ -67,14 +67,19 @@ class PublicKey:
     def length(self) -> int:
         return self.G_vec.shape[0]
 
-    def fixed_tables(self, mn: int, layout: str | None = None) -> jnp.ndarray:
+    def fixed_tables(self, mn: int, layout: str | None = None):
         """Cached fixed-base window tables for [G_vec[:mn] ‖ H_vec[:mn]]
         (msm/fixed.py): one-time per (pk, mn, layout), reused by every
         subsequent verification over this generator set.
 
         layout "kernel" (2D, the Pallas lookup kernel's limb-major form) or
         "xla" (5D, the select-tree path / sharded fixed MSM); default picks
-        the kernel layout whenever the Pallas MSM path is active."""
+        the kernel layout whenever the Pallas MSM path is active. Flavor
+        (unsigned vs signed half-size entries) comes from
+        msm.fixed.fixed_base_mode's memory budget. Multi-GB kernel tables
+        (bls12-381 at large mn) build in point-axis CHUNKS and return a
+        tuple of 2D chunk tables, bounding build/transpose peak memory to
+        ~one chunk above the table itself."""
         if layout is None:
             from ..msm.engine import _ladder_ok
 
@@ -82,14 +87,37 @@ class PublicKey:
         cache = self.__dict__.setdefault("_fb_tables", {})
         t = cache.get((mn, layout))
         if t is None:
-            from ..msm.fixed import precompute_tables
+            from ..msm.fixed import (
+                fixed_base_mode,
+                precompute_tables,
+                precompute_tables_signed,
+                table_bytes,
+            )
 
+            mode = fixed_base_mode(self.curve, 2 * mn) or "unsigned"
+            signed = mode == "signed"
+            build = (precompute_tables_signed if signed
+                     else precompute_tables)
             pts = jnp.concatenate([self.G_vec[:mn], self.H_vec[:mn]], axis=0)
-            t = precompute_tables(self.curve, pts)
+            N = pts.shape[0]
+            # chunk so each chunk's table stays under ~1 GiB of build peak
+            total = table_bytes(self.curve, N, signed=signed)
+            nchunks = max(1, -(-total // (1 << 30)))
             if layout == "kernel":
                 from ..curves.pallas_curve import fixed_table_kernel_layout
 
-                t = fixed_table_kernel_layout(self.curve, t)
+                if nchunks == 1:
+                    t = fixed_table_kernel_layout(self.curve, build(
+                        self.curve, pts))
+                else:
+                    cn = -(-N // nchunks)
+                    t = tuple(
+                        fixed_table_kernel_layout(self.curve, build(
+                            self.curve, pts[i * cn: (i + 1) * cn]))
+                        for i in range(nchunks)
+                    )
+            else:
+                t = build(self.curve, pts)
             cache[(mn, layout)] = t
         return t
 

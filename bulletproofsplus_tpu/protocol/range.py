@@ -22,7 +22,7 @@ from ..errors import (
     VerificationError,
 )
 from ..msm import msm, tree_sum
-from ..transcript import ShaTranscript, SystemRng
+from ..transcript import Fs256Transcript, ShaTranscript, SystemRng
 from .publickey import PublicKey
 from .wip import WipProof, verification_scalars, wip_prove
 
@@ -190,7 +190,10 @@ def prove(
     # random blindings. The reference's stripped-transcript constants
     # (SURVEY.md §2.9) are opt-in via transcript=DeterministicTranscript(m),
     # rng=DeterministicRng(m) — the differential-test mode, NOT a proof.
-    transcript = transcript or ShaTranscript(m)
+    # Default transcript: fs256 (documented word-aligned SHA-256 chain with
+    # a byte-exact device twin — the sound mode that runs as ONE compiled
+    # dispatch on both the prover and verifier; docs/DESIGN.md §transcripts).
+    transcript = transcript or Fs256Transcript(m)
     rng = rng or SystemRng(curve.fn.p)
     if m == 1:
         return _prove_single(
@@ -225,7 +228,7 @@ def verify(
         # (SURVEY.md §2.8: the only variant actually produced)
         raise VerificationError(str(exc) or "invalid arguments")
     pk = pk_prefix(pk, n * m)
-    transcript = transcript or ShaTranscript(m)  # match prove()'s default
+    transcript = transcript or Fs256Transcript(m)  # match prove()'s default
     if m == 1:
         _verify_single(curve, proof, pk, n, commitment_vec[0], transcript)
     else:
@@ -451,6 +454,51 @@ def _verify_fused_fb_jit(curve, n: int, m: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _verify_fused_fs256_jit(curve, n: int, m: int, fixed: bool):
+    """Sound single-proof verification as ONE compiled program: the fs256
+    Fiat-Shamir replay runs IN-GRAPH (protocol/fs256.py::fs256_replay — no
+    host point decode, no host hashing), then the exponent vectors, the
+    mega-MSM (fixed-base tables for the 2mn generator lanes when `fixed`)
+    and the identity check. The device twin of _replay_challenges +
+    _verify_fused_jit for Fs256Transcript verifiers."""
+    import jax
+
+    from ..msm.fixed import fixed_msm
+    from .fs256 import fs256_replay
+
+    base = (_vinputs_single_prog(curve, n) if m == 1
+            else _vinputs_multiple_jit(curve, n, m))
+    fn = curve.fn
+
+    def f(rp, sp, dp_, A, Aw, B, L, R, V, g, h, gen1, gen2):
+        y, z, es, e = fs256_replay(curve, m, V, A, L, R, Aw, B)
+        uniq_s, G_exp, H_exp, g_exp, h_exp = base(y, z, es, e, rp, sp, dp_)
+        if m == 1:
+            head_p = [B[None], Aw[None], A[None]]   # pairs [1, e, e²]
+        else:
+            head_p = [A[None], Aw[None], B[None]]   # pairs [1, e⁻¹, e⁻²]
+        if fixed:
+            var_s = jnp.concatenate(
+                [uniq_s, g_exp[None], h_exp[None]], axis=0)
+            var_p = jnp.concatenate(
+                head_p + [L, R, V, g[None], h[None]], axis=0)
+            fixed_s = jnp.concatenate([G_exp, H_exp], axis=0)
+            out = curve.add(
+                msm(curve, fn.from_mont(var_s), var_p),
+                fixed_msm(curve, fn.from_mont(fixed_s), gen1),
+            )
+        else:
+            scalars = jnp.concatenate(
+                [uniq_s, g_exp[None], h_exp[None], G_exp, H_exp], axis=0)
+            points = jnp.concatenate(
+                head_p + [L, R, V, g[None], h[None], gen1, gen2], axis=0)
+            out = msm(curve, fn.from_mont(scalars), points)
+        return curve.is_identity(out)
+
+    return jax.jit(f)
+
+
 def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
     fn = curve.fn
     mn = n * m
@@ -458,10 +506,24 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
     logn = wproof.rounds
     if mn != (1 << logn):
         raise VerificationError()
-    y, z, es, e = _replay_challenges(
-        curve, proof, m, logn, commitment_vec, transcript)
     from ..msm.fixed import fixed_base_ok
 
+    fixed = fixed_base_ok(curve, 2 * mn)
+    if (getattr(transcript, "device_graph", False)
+            and getattr(transcript, "_counter", None) == 0):
+        # fs256: replay runs inside the compiled program — sound verify in
+        # ONE dispatch with no host decode/hashing
+        gens = ((pk.fixed_tables(mn), pk.h[None]) if fixed
+                else (pk.G_vec[:mn], pk.H_vec[:mn]))
+        ok = _verify_fused_fs256_jit(curve, n, m, fixed)(
+            wproof.r_prime, wproof.s_prime, wproof.d_prime,
+            proof.A, wproof.A, wproof.B, wproof.L_vec, wproof.R_vec,
+            jnp.stack(list(commitment_vec)), pk.g, pk.h, *gens)
+        if not bool(ok):
+            raise VerificationError()
+        return
+    y, z, es, e = _replay_challenges(
+        curve, proof, m, logn, commitment_vec, transcript)
     head = (
         jnp.asarray(fn.encode(y)),
         jnp.asarray(fn.encode(z)),
@@ -471,7 +533,7 @@ def _verify_fused(curve, proof, pk, n, m, commitment_vec, transcript):
         proof.A, wproof.A, wproof.B, wproof.L_vec, wproof.R_vec,
         jnp.stack(list(commitment_vec)), pk.g, pk.h,
     )
-    if fixed_base_ok(curve, 2 * mn):
+    if fixed:
         ok = _verify_fused_fb_jit(curve, n, m)(*head, pk.fixed_tables(mn))
     else:
         ok = _verify_fused_jit(curve, n, m)(
@@ -520,7 +582,7 @@ def verification_inputs(curve, proof, pk, n, commitment_vec, transcript=None):
     commitment_vec = list(commitment_vec)
     m = len(commitment_vec)
     pk = pk_prefix(pk, n * m)
-    transcript = transcript or ShaTranscript(m)
+    transcript = transcript or Fs256Transcript(m)
     if m == 1:
         return _verification_inputs_single(
             curve, proof, pk, n, commitment_vec[0], transcript
@@ -632,7 +694,7 @@ def replay_batch(curve, batch: "ProofBatch", V_all, n: int, m: int,
         V_np = [V_flat[i * m:(i + 1) * m] for i in range(K)]
     ys, zs, ess, efs = [], [], [], []
     for i, tr in enumerate(transcripts):
-        tr = tr or ShaTranscript(m)
+        tr = tr or Fs256Transcript(m)
         y, z = tr.challenge_yz(curve, list(V_np[i] if V_np[i] is not None
                                            else [None] * m), A_np[i])
         es = [
@@ -851,6 +913,18 @@ def _verify_multiple(curve, proof, pk, n, m, commitment_vec, transcript):
     _check_identity_msm(curve, pk, inputs)
 
 
+def _tree_prod(fn, a):
+    """Π over axis 0 via a balanced tree of field muls ((k, L) → (L,))."""
+    k = a.shape[0]
+    while k > 1:
+        half = k // 2
+        paired = fn.mul(a[:half], a[half : 2 * half])
+        a = (jnp.concatenate([paired, a[2 * half :]], axis=0)
+             if k % 2 else paired)
+        k = a.shape[0]
+    return a[0]
+
+
 @functools.lru_cache(maxsize=None)
 def _vinputs_multiple_jit(curve, n: int, m: int):
     """Builds the (unjitted) exponent-vector program f for (curve, n, m);
@@ -866,6 +940,7 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
     idx_two = np.arange(mn) % n
     idx_z = np.arange(mn) // n
     sum_2_np = fn.encode((pow(2, n, fn.p) - 1) % fn.p)  # Σ 2^i, i<n
+    two_pows_np = fn.encode([pow(2, i, fn.p) for i in range(n)])
     sbit = np.stack(
         [(np.arange(mn) >> j) & 1 for j in range(logn)], axis=0
     ).astype(bool)  # (logn, mn) bit table for the s_vec product
@@ -873,8 +948,7 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
     def f(y_m, z_m, challenges, e, r_prime, s_prime, d_prime):
         minus_z = fn.neg(z_m)
         z_sqr = fn.mul(z_m, z_m)
-        two_m = jnp.asarray(fn.encode(2))
-        power_of_two = fn.powers_type1(two_m, n)
+        power_of_two = jnp.asarray(two_pows_np)
         power_of_y_all = fn.powers_type2(y_m, mn + 1)
         y_mn1 = power_of_y_all[mn]
         power_of_y = power_of_y_all[:mn]
@@ -882,8 +956,16 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
         power_of_z = fn.powers_type2(z_sqr, m)
         concat_z_and_2 = fn.mul(power_of_two[idx_two], power_of_z[idx_z])
 
-        # verification_scalars device math (wip:330-382)
-        allinv, challenges_inv = fn.batch_invert(challenges)
+        # verification_scalars device math (wip:330-382). ONE Fermat chain
+        # inverts challenges, e and y together (the three separate
+        # inversions were ~750 sequential scan steps of tiny muls — pure
+        # latency inside the fused verify program).
+        _, invs = fn.batch_invert(
+            jnp.concatenate([challenges, e[None], y_m[None]], axis=0))
+        challenges_inv = invs[:logn]
+        e_inv = invs[logn]
+        y_inv = invs[logn + 1]
+        allinv = _tree_prod(fn, challenges_inv)
         challenges_sqr = fn.mul(challenges, challenges)
         challenges_inv_sqr = fn.mul(challenges_inv, challenges_inv)
         s_vec = jnp.broadcast_to(allinv, (mn, fn.L))
@@ -895,13 +977,11 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
             )
         s_prime_vec = s_vec[::-1]
 
-        e_inv = fn.inv(e)
         e_sqr = fn.mul(e, e)
         e_sqr_inv = fn.mul(e_inv, e_inv)
         r_prime_e_inv_y = fn.mul(fn.mul(r_prime, e_inv), y_m)
         s_prime_e_inv = fn.mul(s_prime, e_inv)
 
-        y_inv = fn.inv(y_m)
         pow_y_inv = fn.powers_type2(y_inv, mn)
         G_exp = fn.sub(
             jnp.broadcast_to(minus_z, (mn, fn.L)),
@@ -964,8 +1044,13 @@ def _vinputs_single_prog(curve, n: int):
             fn.mul(fn.mul(jnp.asarray(sum2_np), V_exp_comm), z_m),
         )
 
-        # verification_scalars device math (wip:330-382)
-        allinv, challenges_inv = fn.batch_invert(challenges)
+        # verification_scalars device math (wip:330-382); one Fermat chain
+        # for challenges and y together (see the aggregated program)
+        _, invs = fn.batch_invert(
+            jnp.concatenate([challenges, y_m[None]], axis=0))
+        challenges_inv = invs[:logn]
+        y_inv = invs[logn]
+        allinv = _tree_prod(fn, challenges_inv)
         challenges_sqr = fn.mul(challenges, challenges)
         challenges_inv_sqr = fn.mul(challenges_inv, challenges_inv)
         s_vec = jnp.broadcast_to(allinv, (n, fn.L))
@@ -983,7 +1068,6 @@ def _vinputs_single_prog(curve, n: int):
         Ls_exp = fn.mul(challenges_sqr, e_sqr)
         Rs_exp = fn.mul(challenges_inv_sqr, e_sqr)
 
-        y_inv = fn.inv(y_m)
         pow_y_inv = fn.powers_type2(y_inv, n)
         G_exp = fn.sub(
             fn.mul(G_exp_comm, e_sqr),

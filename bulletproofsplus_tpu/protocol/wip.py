@@ -911,7 +911,8 @@ def verification_scalars(curve, proof: WipProof, n: int, transcript):
     return challenges_sqr, challenges_inv_sqr, s, jnp.asarray(fn.encode(e))
 
 
-def _wip_prove_known_kbatched_prog(curve, n: int, K: int):
+def _wip_prove_known_kbatched_prog(curve, n: int, K: int,
+                                   lr_xla: bool = False):
     """K proofs' whole fold loops as ONE BATCHED-NATIVE program — explicit
     leading K axis, NO vmap.
 
@@ -970,9 +971,7 @@ def _wip_prove_known_kbatched_prog(curve, n: int, K: int):
                 jnp.concatenate([G2, H1, gk[:, None], hk[:, None]], axis=1),
                 jnp.concatenate([G1, H2, gk[:, None], hk[:, None]], axis=1),
             ], axis=1)                                     # (K, 2, W, C, L)
-            import os as _os
-
-            if _os.environ.get("BPP_KBATCHED_LR") == "xla":
+            if lr_xla:
                 # bisect aid: the plain padded scan ladder + tree for L/R
                 # (natively batched over K·2 rows) instead of the joint
                 # Pallas kernel — isolates the kernel-in-graph suspicion
@@ -1054,5 +1053,16 @@ def _wip_prove_known_kbatched_prog(curve, n: int, K: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _wip_prove_known_kbatched_jit_impl(curve, n: int, K: int, lr_xla: bool):
+    return jax.jit(_wip_prove_known_kbatched_prog(curve, n, K, lr_xla))
+
+
 def _wip_prove_known_kbatched_jit(curve, n: int, K: int):
-    return jax.jit(_wip_prove_known_kbatched_prog(curve, n, K))
+    """BPP_KBATCHED_LR=xla (the bisect aid) is read at CALL time and is part
+    of the compiled-program cache key, so toggling it mid-process takes
+    effect — a trace-time read inside the lru-cached builder would silently
+    keep running the stale cached program (round-4 advisor finding)."""
+    import os
+
+    return _wip_prove_known_kbatched_jit_impl(
+        curve, n, K, os.environ.get("BPP_KBATCHED_LR") == "xla")

@@ -23,6 +23,48 @@ def _fp_bytes(curve) -> int:
     return (curve.fp.p.bit_length() + 7) // 8
 
 
+# Curves whose cofactor exceeds 1: on-curve does NOT imply in-subgroup, so
+# deserialization must also reject torsion/mixed-order points — a sound-mode
+# library cannot accept attacker-controlled proof/pk bytes outside the
+# prime-order group the protocol's soundness argument lives in (the same
+# contract publickey.py::new_secure enforces for its own generators by
+# cofactor-clearing, reference publickey.rs:13-53). secp256k1 has cofactor 1
+# (on-curve == in-subgroup).
+_COFACTOR = {"edwards25519": 8, "bls12_381": 0x396C8C005555E1568C00AAAB0000AAAB,
+             "secp256k1": 1}
+
+
+def in_subgroup(curve, P) -> bool:
+    """Whether host affine P (None = identity) lies in the prime-order
+    subgroup: l·P == identity with l = the group order. Cofactor-1 curves
+    short-circuit (on-curve ⇒ in-subgroup).
+
+    NOTE: gc.mul reduces the scalar mod l (correct group semantics for
+    subgroup points, vacuous for this check — l·P would become 0·P), so
+    the ladder runs raw over the unreduced order here."""
+    from .golden.curves import CURVES as GOLDEN
+
+    if P is None or _COFACTOR.get(curve.name, 1) == 1:
+        return True
+    gc = GOLDEN[curve.name]
+    k = curve.fn.p
+    acc, base = None, P
+    while k:
+        if k & 1:
+            acc = gc.add(acc, base)
+        base = gc.add(base, base)
+        k >>= 1
+    return acc is None
+
+
+def _check_subgroup(curve, gc, P) -> None:
+    """Raise FormatError unless P is in the prime-order subgroup. Costs one
+    host scalar-mul (~1 ms) per decoded point — a deserialization-only
+    cost; trusted in-process points never pass through here."""
+    if not in_subgroup(curve, P):
+        raise FormatError("point not in the prime-order subgroup")
+
+
 def point_len(curve) -> int:
     if curve.COORDS == 4:  # edwards
         return 32
@@ -69,6 +111,7 @@ def point_from_bytes(curve, data: bytes):
             x = _ed_recover_x(y, sign)
         except ValueError:
             raise FormatError()
+        _check_subgroup(curve, gc, (x, y))
         return (x, y)
     nb = _fp_bytes(curve)
     if len(data) != nb + 1:
@@ -93,6 +136,7 @@ def point_from_bytes(curve, data: bytes):
     P = (x, y)
     if not gc.is_on_curve(P):
         raise FormatError()
+    _check_subgroup(curve, gc, P)
     return P
 
 

@@ -62,7 +62,14 @@ def setup_compilation_cache(path: str | None = None) -> None:
     # a partition (the deserialize-segfault scenario the partition exists
     # to prevent).
     primary = plats.split(",")[0].strip().lower() if plats else ""
-    backend = "cpu" if (primary == "cpu" or (not primary and isa)) else "accel"
+    # ANY process with an ISA pin goes to the pinned partition — even an
+    # accelerator-primary one: such a process can still compile CPU-backend
+    # executables (the appended cpu fallback, explicit device=cpu), and
+    # writing those pinned entries into the shared root would recreate the
+    # ISA-mix deserialize-segfault this partitioning exists to prevent. The
+    # cost is only less sharing (its TPU entries land in the pinned
+    # partition too).
+    backend = "cpu" if (primary == "cpu" or isa) else "accel"
     if backend == "cpu":
         path = os.path.join(path, f"cpu-{isa or 'native'}")
     os.makedirs(path, exist_ok=True)

@@ -155,3 +155,141 @@ def test_fs256_batch_matches_sequential(monkeypatch):
     commits = stack_commitments(curve, [p.commitment_vec for p in provers])
     batch_verify(curve, pk, n, pbatch, commits,
                  transcripts=[Fs256Transcript(m) for _ in range(K)])
+
+
+def test_fs256_replay_matches_host_twin(monkeypatch):
+    """The in-graph verifier replay (fs256_replay) derives exactly the
+    challenges the host twin derives from the same proof — the device half
+    of sound one-dispatch verification."""
+    from bulletproofsplus_tpu.protocol.fs256 import fs256_replay
+
+    curve = curve_ops("edwards25519")
+    fn = curve.fn
+    n, m = 8, 2
+    pk = PublicKey.new(curve, n * m)
+    p = RangeProver()
+    for i in range(m):
+        p.commit(pk, (3 * i + 2) % (1 << n), 2 * i + 3)
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    pf = prove(curve, pk, n, p, transcript=Fs256Transcript(m),
+               rng=DeterministicRng(m))
+
+    # host twin replay
+    tr = Fs256Transcript(m)
+    y, z = tr.challenge_yz(curve, list(p.commitment_vec), pf.A)
+    logn = pf.proof.rounds
+    es = [tr.round_challenge(curve, pf.proof.L_vec[i], pf.proof.R_vec[i])
+          for i in range(logn)]
+    ef = tr.final_challenge(curve, pf.proof.A, pf.proof.B)
+
+    dy, dz, des, def_ = fs256_replay(
+        curve, m, jnp.stack(list(p.commitment_vec)), pf.A,
+        pf.proof.L_vec, pf.proof.R_vec, pf.proof.A, pf.proof.B)
+    assert fn.decode(np.asarray(dy)) == y % fn.p
+    assert fn.decode(np.asarray(dz)) == z % fn.p
+    for i in range(logn):
+        assert fn.decode(np.asarray(des[i])) == es[i] % fn.p
+    assert fn.decode(np.asarray(def_)) == ef % fn.p
+
+
+def test_fs256_batch_verify_rejects_tampered(monkeypatch):
+    """The in-graph-replay batch verifier must reject a tampered member."""
+    from bulletproofsplus_tpu.protocol import batch_prove, batch_verify
+    from bulletproofsplus_tpu.protocol import stack_commitments
+
+    curve = curve_ops("edwards25519")
+    n, m, K = 8, 2, 2
+    pk = PublicKey.new(curve, n * m)
+    provers = []
+    for k in range(K):
+        p = RangeProver()
+        for i in range(m):
+            p.commit(pk, (7 * k + 3 * i + 2) % (1 << n), 2 * i + k + 3)
+        provers.append(p)
+    monkeypatch.setenv("BPP_BATCH_VMAP", "1")
+    monkeypatch.setenv("BPP_FUSE_PROVER", "1")
+    pbatch = batch_prove(
+        curve, pk, n, provers,
+        transcripts=[Fs256Transcript(m) for _ in range(K)],
+        rngs=[DeterministicRng(m) for _ in range(K)])
+    commits = stack_commitments(curve, [p.commitment_vec for p in provers])
+    bad = dataclasses.replace(
+        pbatch, r_prime=pbatch.r_prime.at[1].add(1))
+    with pytest.raises(VerificationError):
+        batch_verify(curve, pk, n, bad, commits,
+                     transcripts=[Fs256Transcript(m) for _ in range(K)])
+
+
+def test_fs256_kbatched_program_matches_vmap(monkeypatch):
+    """The batched-native fs256 whole-fold program (in-graph challenges,
+    flat kernel grids) computes the same function as the vmapped fs256
+    program. As in test_batchprove's kbatched test, the Pallas joint ladder
+    is replaced by an XLA reference on CPU — this pins the K-axis
+    bookkeeping and the per-round transcript-state threading."""
+    import numpy as np
+
+    import jax
+
+    from bulletproofsplus_tpu.curves import pallas_curve
+    from bulletproofsplus_tpu.msm.engine import _scalar_mul_jit
+    from bulletproofsplus_tpu.protocol import fs256 as fs256_mod
+
+    def ref_joint_grouped(curve, scalars, points, nbits, jway,
+                          interpret=False):
+        fn = curve.fn
+        lead = points.shape[:-3]
+        N = points.shape[-3]
+        G = N // jway
+        sm = _scalar_mul_jit(curve, nbits)
+        prods = sm(jnp.broadcast_to(jnp.asarray(scalars), (*lead, N, fn.L)),
+                   points)
+        prods = prods.reshape(*lead, G, jway, *prods.shape[-2:])
+        out = prods[..., 0, :, :]
+        for j in range(1, jway):
+            out = curve.add(out, prods[..., j, :, :])
+        return out
+
+    monkeypatch.setattr(
+        pallas_curve, "joint_ladder_msm_grouped", ref_joint_grouped)
+
+    curve = curve_ops("edwards25519")
+    fn = curve.fn
+    n, K = 8, 2
+    logn = 3
+    pk = PublicKey.new(curve, n)
+    rng = np.random.RandomState(1)
+
+    def rnd(*shape):
+        vals = [int(rng.randint(1, 1 << 30))
+                for _ in range(int(np.prod(shape)))]
+        return jnp.asarray(fn.encode(vals)).reshape(*shape, fn.L)
+
+    a, b = rnd(K, n), rnd(K, n)
+    ys = [int(rng.randint(2, 1 << 20)) for _ in range(K)]
+    pys = [[pow(y, i + 1, fn.p) for i in range(n)] for y in ys]
+    power_of_y = jnp.asarray(
+        fn.encode([v for row in pys for v in row])).reshape(K, n, fn.L)
+    states = jnp.asarray(np.stack(
+        [Fs256Transcript(2).state_words() for _ in range(K)]))
+    args = (a, b, power_of_y, rnd(K), pk.G_vec, pk.H_vec, pk.g, pk.h,
+            states, rnd(K, logn), rnd(K, logn),
+            rnd(K), rnd(K), rnd(K), rnd(K))
+
+    kb = jax.jit(fs256_mod._wip_prove_fs256_kbatched_prog(curve, n, K))(*args)
+    ref = jax.jit(jax.vmap(
+        fs256_mod._wip_prove_fs256_prog(curve, n),
+        in_axes=(0, 0, 0, 0, None, None, None, None, 0, 0, 0, 0, 0, 0, 0),
+    ))(*args)
+
+    names = ("L_vec", "R_vec", "A", "B", "r_prime", "s_prime", "d_prime",
+             "state")
+    for name, x, y in zip(names, kb, ref):
+        x, y = np.asarray(x), np.asarray(y)
+        if name in ("r_prime", "s_prime", "d_prime", "state"):
+            assert np.array_equal(x, y), name
+        else:
+            flat_x = x.reshape(-1, *x.shape[-2:])
+            flat_y = y.reshape(-1, *y.shape[-2:])
+            for i in range(flat_x.shape[0]):
+                assert (curve.decode_point(flat_x[i])
+                        == curve.decode_point(flat_y[i])), (name, i)
