@@ -74,6 +74,21 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def is_batch_tracer(x) -> bool:
+    """Whether x is a vmap batching tracer (the Pallas grouped/revisiting
+    kernels do not compile under vmap batching — such callers must take the
+    XLA paths). If the tracer class cannot be located in this jax version,
+    conservatively answer True (degrading kernel users to XLA)."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # moved across jax versions
+        try:
+            from jax.interpreters.batching import BatchTracer
+        except Exception:
+            return True
+    return isinstance(x, BatchTracer)
+
+
 def _pad_axis(arr, axis: int, n2: int, pad_block):
     """Pad `arr` along `axis` to length n2 with broadcast copies of
     pad_block (shape = arr.shape with that axis removed... broadcastable)."""
@@ -166,17 +181,6 @@ def tree_sum(curve, points):
     if n == 0:
         return jnp.broadcast_to(jnp.asarray(curve.identity_np),
                                 (*points.shape[:-3], *points.shape[-2:]))
-    try:
-        from jax._src.interpreters.batching import BatchTracer
-    except ImportError:  # moved across jax versions
-        try:
-            from jax.interpreters.batching import BatchTracer
-        except Exception:
-            # unlocatable in this jax: we can no longer tell batched
-            # tracers apart, so disable the grouped-kernel fast path
-            # entirely and degrade to the XLA tree below
-            BatchTracer = None
-
     # the grouped kernel handles leading axes natively but its revisiting
     # out-window pattern does not compile under vmap batching — batched
     # tracers take the XLA tree (callers wanting the kernel pass stacked
@@ -187,8 +191,7 @@ def tree_sum(curve, points):
         total *= d
     if (_ladder_ok(curve) and n > 1 and total >= 2048
             and os.environ.get("BPP_SUM_KERNEL", "1") == "1"
-            and BatchTracer is not None
-            and not isinstance(points, BatchTracer)):
+            and not is_batch_tracer(points)):
         from ..curves.pallas_curve import sum_points_grouped
 
         return sum_points_grouped(curve, points)

@@ -297,17 +297,19 @@ def batch_prove(
 
         if (_ladder_ok(curve) and _prover_variant() == "unrolled"
                 and _prover_pallas()
-                and os.environ.get("BPP_PROVER_KBATCHED", "0") == "1"):
+                and os.environ.get("BPP_PROVER_KBATCHED", "1") == "1"):
             # batched-NATIVE program: K folded into every kernel's lane
             # axis (one grid per call) instead of K vmap instances with
             # ~4 ms small-grid overhead each — see the prog docstring.
-            # OPT-IN (BPP_PROVER_KBATCHED=1) until validated on hardware:
-            # the round-3 driver bench showed its proofs failing
-            # batch_verify on TPU (BENCH_r03.json rc=1) while the vmapped
-            # program below verified clean — validate with
-            # scripts/validate_prover_pallas.py before flipping the
-            # default. Gated on _prover_pallas() so BPP_PROVER_PALLAS=0
-            # still forces the XLA comparison baseline.
+            # DEFAULT ON since round 5: the round-3 bench failure was
+            # root-caused to an XLA miscompile of the padded halving tree
+            # inside this program (see wip._joint_rows_msm, which now
+            # reduces through the grouped-sum kernel) and the program is
+            # hardware-validated byte-exact vs the vmapped path with
+            # accept+tamper-reject polarity (VALIDATE_KBATCHED_r05.json,
+            # scripts/validate_prover_kbatched.py; 2.2x faster at K=16).
+            # Gated on _prover_pallas() so BPP_PROVER_PALLAS=0 still
+            # forces the XLA comparison baseline.
             fold_prog = _wip_prove_known_kbatched_jit(curve, mn, K)
         else:
             fold_prog = _wip_prove_known_scan_vmap_jit(curve, mn)
@@ -349,9 +351,9 @@ def batch_prove(
 
         if (_ladder_ok(curve) and _prover_variant() == "unrolled"
                 and _prover_pallas()
-                and os.environ.get("BPP_PROVER_KBATCHED", "0") == "1"):
+                and os.environ.get("BPP_PROVER_KBATCHED", "1") == "1"):
             # batched-NATIVE sound program: flat kernel grids instead of K
-            # vmap instances (same gate as the known-challenge path)
+            # vmap instances (same gate/default as the known-challenge path)
             from .fs256 import wip_prove_fs256_kbatched_jit
 
             fs_prog = wip_prove_fs256_kbatched_jit(curve, mn, K)

@@ -237,7 +237,7 @@ def _joint_rows_msm(curve, scalars_plain, points, nbits: int):
     the XLA scan-ladder fallback costs ~60-240 ms per round at K=16 even
     for 4-lane rounds (253 sequential taxed point ops; profiled via
     jax.profiler). Pads W to a multiple of 4 and tree-sums the J-groups."""
-    from ..msm.engine import tree_sum
+    from ..msm.engine import _ladder_ok, is_batch_tracer, tree_sum
     from ..curves.pallas_curve import joint_ladder_msm_grouped
 
     W = points.shape[-3]
@@ -252,6 +252,20 @@ def _joint_rows_msm(curve, scalars_plain, points, nbits: int):
             ident, (*points.shape[:-3], Wp - W, *points.shape[-2:]))
         points = jnp.concatenate([points, pad_p], axis=-3)
     prods = joint_ladder_msm_grouped(curve, scalars_plain, points, nbits, J)
+    if _ladder_ok(curve) and not is_batch_tracer(prods):
+        # ALWAYS reduce through the grouped-sum Pallas kernel here, not
+        # tree_sum's size-gated choice: inside the K-batched whole-fold
+        # program XLA MISCOMPILES the padded halving tree at the first
+        # round whose group count drops under the kernel threshold
+        # (n=1024, K=16: round 3 only — every proof's L/R wrong while the
+        # joint-ladder products and the same tree out-of-program are
+        # bit-correct; root-caused via scripts/validate_prover_kbatched +
+        # in-program instrumentation, round-5). The kernel reduction is
+        # correct in-context and was the production path for the wide
+        # rounds already.
+        from ..curves.pallas_curve import sum_points_grouped
+
+        return sum_points_grouped(curve, prods)
     return tree_sum(curve, prods)
 
 
