@@ -189,7 +189,12 @@ def tree_sum(curve, points):
     total = n
     for d in points.shape[:-3]:
         total *= d
-    if (_ladder_ok(curve) and n > 1 and total >= 2048
+    # threshold lowered 2048 → 512 in round 5: the kernel reduction is both
+    # faster at the 512-lane fixed-kernel tail AND immune to the in-context
+    # XLA tree miscompile root-caused in the K-batched prover (see
+    # wip._joint_rows_msm) — keep XLA only for genuinely tiny sums.
+    if (_ladder_ok(curve) and n > 1
+            and total >= int(os.environ.get("BPP_SUM_KERNEL_MIN", "512"))
             and os.environ.get("BPP_SUM_KERNEL", "1") == "1"
             and not is_batch_tracer(points)):
         from ..curves.pallas_curve import sum_points_grouped
