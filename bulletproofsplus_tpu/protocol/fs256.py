@@ -142,16 +142,20 @@ def fs256_replay(curve, m: int, V, A, L_vec, R_vec, Aw, B):
     (restores the verifier half of what the reference stripped,
     weighted_inner_product_proof.rs:339-348, as ONE device dispatch).
 
-    V: (m, C, L); A/Aw/B: (C, L); L_vec/R_vec: (logn, C, L). Returns
-    Montgomery-form (y (L,), z (L,), es (logn, L), ef (L,)). Challenges of
-    value 0 map to 1, mirroring the host twin (so the host replay's
-    zero-challenge rejection can never disagree)."""
+    V: (..., m, C, L); A/Aw/B: (..., C, L); L_vec/R_vec: (..., logn, C, L),
+    leading axes batched NATIVELY — the SHA chain's sequential step count is
+    independent of the batch size (a vmapped per-proof replay re-traced the
+    chain per proof and scaled ~linearly in K). Returns Montgomery-form
+    (y (..., L), z, es (..., logn, L), ef). Challenges of value 0 map to 1,
+    mirroring the host twin (so the host replay's zero-challenge rejection
+    can never disagree)."""
     import hashlib
 
     from ..transcript import FS256_LABEL
 
     fn = curve.fn
     logn = L_vec.shape[-3]
+    lead = A.shape[:-2]
     state0 = np.frombuffer(
         hashlib.sha256(FS256_LABEL + m.to_bytes(4, "big")).digest(),
         dtype=">u4").astype(np.uint32)
@@ -159,31 +163,33 @@ def fs256_replay(curve, m: int, V, A, L_vec, R_vec, Aw, B):
     # ONE batched affine conversion (one Fermat inversion pass) for every
     # absorbed point, then static slices per absorb call
     pts = jnp.concatenate(
-        [V, A[None], L_vec, R_vec, Aw[None], B[None]], axis=-3)
-    coords = _affine_words(curve, pts)          # (k·2·nw,)
+        [V, A[..., None, :, :], L_vec, R_vec,
+         Aw[..., None, :, :], B[..., None, :, :]], axis=-3)
+    coords = _affine_words(curve, pts)          # (..., k·2·nw)
     k = m + 3 + 2 * logn
-    cw = coords.reshape(k, coords.shape[-1] // k)   # (k, 2·nw) per point
+    cw = coords.reshape(*lead, k, coords.shape[-1] // k)
 
     def absorb(state, tag4, rows):
-        flat = rows.reshape(-1)
-        msg = jnp.concatenate(
-            [state, jnp.asarray(tag_words(tag4)), flat], axis=-1)
+        flat = rows.reshape(*lead, -1)
+        tw = jnp.broadcast_to(jnp.asarray(tag_words(tag4)), (*lead, 1))
+        msg = jnp.concatenate([state, tw, flat], axis=-1)
         return sha256_words(msg, 4 * msg.shape[-1])
 
-    state = jnp.asarray(state0)
-    state = absorb(state, b"stmt", cw[: m + 1])
+    state = jnp.broadcast_to(jnp.asarray(state0), (*lead, 8))
+    state = absorb(state, b"stmt", cw[..., : m + 1, :])
     state, y = _challenge_mont(fn, state, b"y   ", 1)
     state, z = _challenge_mont(fn, state, b"z   ", 2)
     es = []
     for r in range(logn):
-        lr = jnp.stack([cw[m + 1 + r], cw[m + 1 + logn + r]])
+        lr = jnp.stack(
+            [cw[..., m + 1 + r, :], cw[..., m + 1 + logn + r, :]], axis=-2)
         state = absorb(state, b"LR  ", lr)
         state, e = _challenge_mont(fn, state, b"e   ", r + 3)
         es.append(e)
-    state = absorb(state, b"AB  ", cw[-2:])
+    state = absorb(state, b"AB  ", cw[..., -2:, :])
     state, ef = _challenge_mont(fn, state, b"ef  ", logn + 3)
-    es_m = (jnp.stack(es) if es
-            else jnp.zeros((0, fn.L), y.dtype))
+    es_m = (jnp.stack(es, axis=-2) if es
+            else jnp.zeros((*lead, 0, fn.L), y.dtype))
     return y, z, es_m, ef
 
 

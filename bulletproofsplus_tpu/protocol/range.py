@@ -1015,6 +1015,106 @@ def _vinputs_multiple_jit(curve, n: int, m: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _vinputs_multiple_batched(curve, n: int, m: int):
+    """BATCHED-NATIVE twin of _vinputs_multiple_jit: every input carries an
+    explicit leading K axis and every op runs on (K, ·) tensors, so the
+    Montgomery-mul Pallas kernels see ONE flattened (K·mn)-lane grid per op
+    instead of K vmap instances each — the exponent-vector stage dominated
+    the fused batch verify's device time under vmap. Same outputs as
+    jax.vmap(_vinputs_multiple_jit(...)); differentially tested in
+    tests/test_parallel.py."""
+    fn = curve.fn
+    mn = n * m
+    logn = mn.bit_length() - 1
+    idx_two = np.arange(mn) % n
+    idx_z = np.arange(mn) // n
+    sum_2_np = fn.encode((pow(2, n, fn.p) - 1) % fn.p)
+    two_pows_np = fn.encode([pow(2, i, fn.p) for i in range(n)])
+    sbit = np.stack(
+        [(np.arange(mn) >> j) & 1 for j in range(logn)], axis=0
+    ).astype(bool)
+
+    def powers2_b(x, nn):  # (K, L) -> (K, nn, L): x, x², ...
+        xs = jnp.broadcast_to(x[:, None, :], (x.shape[0], nn, fn.L))
+        from jax import lax
+
+        return lax.associative_scan(fn.mul, xs, axis=1)
+
+    def f(y_m, z_m, challenges, e, r_prime, s_prime, d_prime):
+        # y_m, z_m, e, r', s', d': (K, L); challenges: (K, logn, L)
+        K = y_m.shape[0]
+        minus_z = fn.neg(z_m)                      # (K, L)
+        z_sqr = fn.mul(z_m, z_m)
+        power_of_two = jnp.asarray(two_pows_np)    # (n, L) const
+        power_of_y_all = powers2_b(y_m, mn + 1)    # (K, mn+1, L)
+        y_mn1 = power_of_y_all[:, mn]
+        power_of_y = power_of_y_all[:, :mn]
+        power_of_y_rev = power_of_y[:, ::-1]
+        power_of_z = powers2_b(z_sqr, m)           # (K, m, L)
+        concat_z_and_2 = fn.mul(
+            jnp.broadcast_to(power_of_two[idx_two], (K, mn, fn.L)),
+            power_of_z[:, idx_z])
+
+        _, invs = fn.batch_invert(
+            jnp.concatenate([challenges, e[:, None], y_m[:, None]], axis=1),
+            axis=1)
+        challenges_inv = invs[:, :logn]
+        e_inv = invs[:, logn]
+        y_inv = invs[:, logn + 1]
+        allinv = challenges_inv[:, 0]
+        for j in range(1, logn):
+            allinv = fn.mul(allinv, challenges_inv[:, j])
+        challenges_sqr = fn.mul(challenges, challenges)
+        challenges_inv_sqr = fn.mul(challenges_inv, challenges_inv)
+        s_vec = jnp.broadcast_to(allinv[:, None], (K, mn, fn.L))
+        for j in range(logn):
+            s_vec = fn.select(
+                jnp.asarray(sbit[j]),
+                fn.mul(s_vec, challenges_sqr[:, None, logn - 1 - j]),
+                s_vec,
+            )
+        s_prime_vec = s_vec[:, ::-1]
+
+        e_sqr = fn.mul(e, e)
+        e_sqr_inv = fn.mul(e_inv, e_inv)
+        r_prime_e_inv_y = fn.mul(fn.mul(r_prime, e_inv), y_m)
+        s_prime_e_inv = fn.mul(s_prime, e_inv)
+
+        pow_y_inv = powers2_b(y_inv, mn)
+        G_exp = fn.sub(
+            jnp.broadcast_to(minus_z[:, None], (K, mn, fn.L)),
+            fn.mul(fn.mul(s_vec, pow_y_inv), r_prime_e_inv_y[:, None]),
+        )
+        H_exp = fn.add(
+            fn.neg(fn.mul(s_prime_e_inv[:, None], s_prime_vec)),
+            fn.add(fn.mul(concat_z_and_2, power_of_y_rev), z_m[:, None]),
+        )
+
+        sum_y = fn.sum(power_of_y, axis=1)         # (K, L)
+        sum_z = fn.sum(power_of_z, axis=1)
+        g_exp = fn.add(
+            fn.neg(fn.mul(fn.mul(fn.mul(r_prime, s_prime), y_m),
+                          e_sqr_inv)),
+            fn.sub(
+                fn.mul(sum_y, fn.sub(z_m, z_sqr)),
+                fn.mul(fn.mul(fn.mul(y_mn1, z_m),
+                              jnp.asarray(sum_2_np)), sum_z),
+            ),
+        )
+        h_exp = fn.neg(fn.mul(d_prime, e_sqr_inv))
+        V_exp = fn.mul(power_of_z, y_mn1[:, None])
+
+        one_m = jnp.broadcast_to(jnp.asarray(fn.one_np), (K, 1, fn.L))
+        unique_scalars = jnp.concatenate(
+            [one_m, e_inv[:, None], e_sqr_inv[:, None],
+             challenges_sqr, challenges_inv_sqr, V_exp], axis=1
+        )
+        return unique_scalars, G_exp, H_exp, g_exp, h_exp
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def _vinputs_single_prog(curve, n: int):
     """Single-proof (m=1) exponent-vector program with the same pure
     (y, z, challenges, e, r', s', d') signature as the aggregated one — so

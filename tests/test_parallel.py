@@ -175,3 +175,35 @@ def test_batch_verify_identify_bad_proof(proof_batch):
     assert got == [bad_idx]
     # clean batch → no indices
     assert batch_verify_identify(curve, pk, 8, proofs, commits) == []
+
+
+def test_vinputs_batched_native_matches_vmap():
+    """The batched-native exponent-vector program (explicit K axis — the
+    fused batch verifier's hot field stage) computes exactly the vmapped
+    per-proof program's outputs."""
+    import jax
+    import numpy as np
+
+    from bulletproofsplus_tpu.protocol.range import (
+        _vinputs_multiple_batched,
+        _vinputs_multiple_jit,
+    )
+
+    curve = curve_ops("edwards25519")
+    fn = curve.fn
+    n, m, K = 8, 2, 3
+    logn = (n * m).bit_length() - 1
+    rng = np.random.RandomState(7)
+
+    def rnd(*shape):
+        vals = [int(rng.randint(1, 1 << 30))
+                for _ in range(int(np.prod(shape)))]
+        return jnp.asarray(fn.encode(vals)).reshape(*shape, fn.L)
+
+    args = (rnd(K), rnd(K), rnd(K, logn), rnd(K),
+            rnd(K), rnd(K), rnd(K))
+    ref = jax.jit(jax.vmap(_vinputs_multiple_jit(curve, n, m)))(*args)
+    got = jax.jit(_vinputs_multiple_batched(curve, n, m))(*args)
+    for name, x, y in zip(("uniq", "G_exp", "H_exp", "g_exp", "h_exp"),
+                          got, ref):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
